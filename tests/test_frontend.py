@@ -1,0 +1,90 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from speakerguard_tpu.ops.kaldi_mfcc import (
+    kaldi_mfcc, IV_PLDA_MFCC, XV_PLDA_MFCC, num_frames)
+from speakerguard_tpu.ops.delta import add_delta
+from speakerguard_tpu.ops.cmvn import sliding_cmvn
+from speakerguard_tpu.ops.logmel import audionet_logmel, slaney_mel_banks
+
+from oracles import oracle_mfcc_single, oracle_delta_single, oracle_cmvn_single
+
+
+def make_wavs(rng, b=2, l=8000, scale=30000.0):
+    return (rng.standard_normal((b, l)) * scale / 3).astype(np.float32)
+
+
+def test_num_frames():
+    # snip_edges=False: (L + shift//2) // shift
+    assert num_frames(80000, IV_PLDA_MFCC) == 500
+    assert num_frames(8000, IV_PLDA_MFCC) == 50
+
+
+@pytest.mark.parametrize("cfg", [IV_PLDA_MFCC, XV_PLDA_MFCC])
+def test_mfcc_matches_oracle(rng, cfg):
+    wavs = make_wavs(rng, b=2, l=4000)
+    got = np.asarray(kaldi_mfcc(jnp.asarray(wavs), cfg))
+    for i in range(wavs.shape[0]):
+        want = oracle_mfcc_single(wavs[i].astype(np.float64),
+                                  num_ceps=cfg.num_ceps)
+        assert got[i].shape == want.shape
+        np.testing.assert_allclose(got[i], want, rtol=2e-4, atol=2e-3)
+
+
+def test_mfcc_dither_changes_output(rng):
+    import jax
+    wavs = jnp.asarray(make_wavs(rng, b=1, l=4000))
+    a = kaldi_mfcc(wavs, IV_PLDA_MFCC, rng=jax.random.PRNGKey(0))
+    b = kaldi_mfcc(wavs, IV_PLDA_MFCC, rng=None)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_delta_matches_oracle(rng):
+    feat = rng.standard_normal((2, 37, 5)).astype(np.float32)
+    got = np.asarray(add_delta(jnp.asarray(feat)))
+    for i in range(2):
+        want = oracle_delta_single(feat[i].astype(np.float64))
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("t", [10, 299, 300, 301, 700])
+def test_cmvn_matches_oracle(rng, t):
+    feat = rng.standard_normal((2, t, 4)).astype(np.float32)
+    got = np.asarray(sliding_cmvn(jnp.asarray(feat)))
+    for i in range(2):
+        want = oracle_cmvn_single(feat[i].astype(np.float64))
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+
+def test_mfcc_is_differentiable(rng):
+    import jax
+    wavs = jnp.asarray(make_wavs(rng, b=1, l=4000))
+
+    def f(w):
+        return jnp.sum(kaldi_mfcc(w, IV_PLDA_MFCC) ** 2)
+
+    g = jax.grad(f)(wavs)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_logmel_shapes_and_grad(rng):
+    import jax
+    wavs = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+    out = audionet_logmel(wavs)
+    # T = 1 + (L-1)//hop
+    assert out.shape == (2, 1 + (16000 - 1) // 160, 32)
+    g = jax.grad(lambda w: jnp.sum(audionet_logmel(w)))(wavs)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_slaney_banks_properties():
+    banks = slaney_mel_banks.__wrapped__(None) if hasattr(
+        slaney_mel_banks, "__wrapped__") else None
+    from speakerguard_tpu.ops.logmel import AUDIONET_LOGMEL
+    banks = slaney_mel_banks(AUDIONET_LOGMEL)
+    assert banks.shape == (32, 513)
+    assert (banks >= 0).all()
+    # every filter has positive mass; slaney norm makes peak ~ 2/(width)
+    assert (banks.sum(axis=1) > 0).all()
