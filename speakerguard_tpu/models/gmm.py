@@ -1,0 +1,116 @@
+"""Full-covariance GMM (UBM) Baum-Welch statistics, batched for TPU.
+
+Replaces reference model/_iv_plda/gmm.py (FullGMM).  The reference computes
+the frame log-likelihood quadratic term with per-frame-chunk loops
+(gmm.py:120-131, `gmm_frame_bs`); here the whole thing is ONE MXU matmul via
+a packed-symmetric-quadratic trick:
+
+    loglike[t,c] = gconsts[c] + m_ic[c]·x_t - 0.5 x_t^T InvCov_c x_t
+
+Since InvCov_c is symmetric, x^T W x = sum_{d<=e} w'[d,e] x_d x_e with
+w' = W * (2 - I).  Augmenting the frame features with their packed outer
+products gives
+
+    loglike = [x, packed(x x^T)] @ [m_ic, -0.5 w']^T + gconsts
+
+one (B*T, D + D(D+1)/2) @ (., C) matmul — e.g. (T, 1890) @ (1890, 2048) for
+the reference's C=2048, D=60 UBM.  No frame chunking needed: peak memory is
+the (B, T, C) posterior tensor.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class FullGMMParams(NamedTuple):
+    gconsts: jax.Array          # (C,)
+    weights: jax.Array          # (C,)
+    means_invcovars: jax.Array  # (C, D)
+    invcovars: jax.Array        # (C, D, D) symmetric
+    means: jax.Array            # (C, D) = InvCov^-1 @ means_invcovars
+    quad_proj: jax.Array        # (D + D(D+1)//2, C) packed projection
+
+    @property
+    def num_gaussians(self) -> int:
+        return self.gconsts.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.means_invcovars.shape[1]
+
+
+def _packed_indices(d: int):
+    iu = np.triu_indices(d)
+    return iu  # (rows, cols) with row <= col
+
+
+def build_gmm(gconsts: np.ndarray, weights: np.ndarray,
+              means_invcovars: np.ndarray, invcovars: np.ndarray
+              ) -> FullGMMParams:
+    """Host-side preprocessing: derive means and the packed quadratic
+    projection matrix (done once at model load)."""
+    c, d = means_invcovars.shape
+    means = np.linalg.solve(invcovars, means_invcovars[..., None])[..., 0]
+    rows, cols = _packed_indices(d)
+    w = invcovars * np.where(np.eye(d, dtype=bool), 1.0, 2.0)
+    packed = w[:, rows, cols]                      # (C, D(D+1)/2)
+    proj = np.concatenate([means_invcovars, -0.5 * packed], axis=1).T
+    return FullGMMParams(
+        gconsts=jnp.asarray(gconsts, jnp.float32),
+        weights=jnp.asarray(weights, jnp.float32),
+        means_invcovars=jnp.asarray(means_invcovars, jnp.float32),
+        invcovars=jnp.asarray(invcovars, jnp.float32),
+        means=jnp.asarray(means, jnp.float32),
+        quad_proj=jnp.asarray(proj, jnp.float32),
+    )
+
+
+def random_gmm(rng: np.random.Generator, num_gaussians: int = 2048,
+               dim: int = 60) -> FullGMMParams:
+    """Random but well-conditioned GMM fixture (reference gmm.py:24-30 used
+    all-ones; we use a valid PSD random model so tests exercise real math)."""
+    a = rng.standard_normal((num_gaussians, dim, dim)) * 0.1
+    invcov = np.einsum("cij,ckj->cik", a, a) + np.eye(dim) * 1.0
+    means = rng.standard_normal((num_gaussians, dim))
+    mic = np.einsum("cij,cj->ci", invcov, means)
+    sign, logdet = np.linalg.slogdet(invcov)
+    weights = np.full(num_gaussians, 1.0 / num_gaussians)
+    # Kaldi gconst = log(weight) + 0.5 logdet(InvCov) - 0.5 (D log(2pi) + m^T InvCov m)
+    gconsts = (np.log(weights) + 0.5 * logdet
+               - 0.5 * (dim * np.log(2 * np.pi)
+                        + np.einsum("ci,ci->c", means, mic)))
+    return build_gmm(gconsts, weights, mic, invcov)
+
+
+def _augment(feats: jnp.ndarray, d: int) -> jnp.ndarray:
+    rows, cols = _packed_indices(d)
+    outer = feats[..., rows] * feats[..., cols]    # (..., D(D+1)/2)
+    return jnp.concatenate([feats, outer], axis=-1)
+
+
+def component_loglike(params: FullGMMParams, feats: jnp.ndarray,
+                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """feats: (..., T, D) -> per-component loglike (..., T, C)."""
+    aug = _augment(feats, params.dim)
+    return jnp.matmul(aug, params.quad_proj,
+                      precision=precision) + params.gconsts
+
+
+def posteriors(params: FullGMMParams, feats: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.softmax(component_loglike(params, feats), axis=-1)
+
+
+def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray):
+    """feats: (B, T, D) -> (zeroth (B, C), first (B, C, D)).
+
+    Matches reference gmm.py:166-171 (sum of posteriors / posterior-weighted
+    frame sum) without the frame-batching loop.
+    """
+    posts = posteriors(params, feats)              # (B, T, C)
+    zeroth = jnp.sum(posts, axis=-2)               # (B, C)
+    first = jnp.einsum("btc,btd->bcd", posts, feats,
+                       precision=jax.lax.Precision.HIGHEST)
+    return zeroth, first

@@ -1,0 +1,140 @@
+"""GMM-UBM i-vector + PLDA speaker recognition system (TPU-native).
+
+Re-design of reference model/iv_plda.py: the wav -> MFCC -> delta -> CMVN ->
+Baum-Welch stats -> ivector -> LDA -> length-norm -> PLDA pipeline as one
+batched, differentiable, jittable function.  The reference loops per
+utterance at every stage (iv_plda.py:201, :253, :302, :385, :401); here the
+batch axis is a real array axis end to end.
+
+Feature flags (iv_plda.py:75-77): 0=wav, 1=raw MFCC, 2=+deltas, 3=CMVN.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speakerguard_tpu.models.base import SRSModel, NEG_INF
+from speakerguard_tpu.models import gmm as gmm_mod
+from speakerguard_tpu.models import ivector as iv_mod
+from speakerguard_tpu.models import plda as plda_mod
+from speakerguard_tpu.ops.kaldi_mfcc import kaldi_mfcc, IV_PLDA_MFCC
+from speakerguard_tpu.ops.delta import add_delta
+from speakerguard_tpu.ops.cmvn import sliding_cmvn
+from speakerguard_tpu.utils import kaldi_io
+
+
+class IvPldaParams(NamedTuple):
+    fgmm: gmm_mod.FullGMMParams
+    extractor: iv_mod.IvectorExtractorParams
+    plda: plda_mod.PLDAParams
+    emb_mean: jax.Array       # (IV,) global ivector mean
+    transform_mat: jax.Array  # (R, IV+1) LDA affine transform
+
+
+def random_iv_plda_params(rng: np.random.Generator, num_gaussians: int = 2048,
+                          dim: int = 60, ivector_dim: int = 600,
+                          reduced_dim: int = 200) -> IvPldaParams:
+    """Random fixture mirroring the reference's random=True constructors."""
+    return IvPldaParams(
+        fgmm=gmm_mod.random_gmm(rng, num_gaussians, dim),
+        extractor=iv_mod.random_extractor(rng, num_gaussians, dim, ivector_dim),
+        plda=plda_mod.random_plda(rng, reduced_dim),
+        emb_mean=jnp.asarray(rng.standard_normal(ivector_dim) * 0.1,
+                             jnp.float32),
+        transform_mat=jnp.asarray(
+            rng.standard_normal((reduced_dim, ivector_dim + 1)) * 0.05,
+            jnp.float32),
+    )
+
+
+def load_iv_plda_params(fgmm_file, extractor_file, plda_file, mean_file,
+                        transform_mat_file) -> IvPldaParams:
+    g = kaldi_io.parse_fgmm_file(fgmm_file)
+    e = kaldi_io.parse_extractor_file(extractor_file)
+    p = kaldi_io.parse_plda_file(plda_file)
+    return IvPldaParams(
+        fgmm=gmm_mod.build_gmm(g["gconsts"], g["weights"],
+                               g["means_invcovars"], g["invcovars"]),
+        extractor=iv_mod.build_extractor(e["extractor_matrix"],
+                                         e["sigma_inv"], float(e["offset"])),
+        plda=plda_mod.build_plda(p["mean"], p["transform"], p["psi"]),
+        emb_mean=jnp.asarray(kaldi_io.parse_mean_file(mean_file), jnp.float32),
+        transform_mat=jnp.asarray(
+            kaldi_io.parse_transform_mat_file(transform_mat_file),
+            jnp.float32),
+    )
+
+
+# ----- pure functions ------------------------------------------------------
+
+def process_emb(params: IvPldaParams, ivec: jnp.ndarray) -> jnp.ndarray:
+    """mean-sub -> LDA affine reduce -> length-norm -> PLDA transform
+    (reference iv_plda.py:411-443), batched over (B, IV)."""
+    x = ivec - params.emb_mean
+    w, b = params.transform_mat[:, :-1], params.transform_mat[:, -1]
+    x = jnp.einsum("ri,bi->br", w, x,
+                   precision=jax.lax.Precision.HIGHEST) + b
+    r = x.shape[-1]
+    x = iv_mod.length_normalize(x, jnp.sqrt(jnp.asarray(float(r))))
+    return plda_mod.transform_ivector(params.plda, x, num_examples=1,
+                                      simple_length_norm=False,
+                                      normalize_length=True)
+
+
+def embedding_from_cmvn(params: IvPldaParams, feats: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """(B, T, D) CMVN features -> (B, R) processed embeddings."""
+    zeroth, first = gmm_mod.zeroth_first_stats(params.fgmm, feats)
+    ivec = iv_mod.extract_ivectors(params.extractor, zeroth, first)
+    return process_emb(params, ivec)
+
+
+def scores_from_emb(params: IvPldaParams, emb: jnp.ndarray,
+                    enroll_embs: jnp.ndarray) -> jnp.ndarray:
+    return plda_mod.llr_scores(params.plda, enroll_embs, emb, num_examples=1)
+
+
+# ----- model class ----------------------------------------------------------
+
+class IvPlda(SRSModel):
+    allowed_flags = (0, 1, 2, 3)
+    range_type = "origin"
+
+    def __init__(self, params: IvPldaParams, model_file: str | None = None,
+                 threshold: float | None = None, mfcc_config=IV_PLDA_MFCC):
+        self.params = params
+        self.mfcc_config = mfcc_config
+        self.threshold = threshold if threshold is not None else NEG_INF
+        self.spk_ids = None
+        self.enroll_embs = None
+        if model_file is not None:
+            (n, self.spk_ids, self.z_norm_means, self.z_norm_stds,
+             embs) = kaldi_io.parse_enroll_model_file(model_file)
+            self.enroll_embs = jnp.asarray(embs, jnp.float32)
+
+    def set_enrollment(self, spk_ids, enroll_embs, z_norm_means=None,
+                       z_norm_stds=None):
+        self.spk_ids = list(spk_ids)
+        self.enroll_embs = jnp.asarray(enroll_embs, jnp.float32)
+        self.z_norm_means = z_norm_means
+        self.z_norm_stds = z_norm_stds
+
+    def _raw(self, wav, rng=None):
+        return kaldi_mfcc(wav, self.mfcc_config, rng=rng)
+
+    def _feat_step(self, feats, ori_flag):
+        if ori_flag == 1:
+            return add_delta(feats)
+        if ori_flag == 2:
+            return sliding_cmvn(feats)
+        raise ValueError(ori_flag)
+
+    def _embedding_from_top(self, feats):
+        return embedding_from_cmvn(self.params, feats)
+
+    def _scores_from_emb(self, emb, enroll_embs=None):
+        enroll = enroll_embs if enroll_embs is not None else self.enroll_embs
+        assert enroll is not None, "model has no enrolled speakers"
+        return scores_from_emb(self.params, emb, enroll)

@@ -1,0 +1,92 @@
+"""i-vector extractor (total-variability T-matrix), batched for TPU.
+
+Replaces reference model/_iv_plda/ivector_extract.py.  The per-utterance
+posterior-precision system
+
+    L = I + sum_c N_c  T_c^T Sigma_c^-1 T_c
+    linear = sum_c T_c^T Sigma_c^-1 F_c
+    ivector = L^-1 linear            (with Kaldi's prior-offset trick)
+
+is evaluated with two load-time precomputations:
+
+  * ``quad``  (C, IV, IV) = T_c^T Sigma_c^-1 T_c  — so L for a whole batch is
+    a single einsum('bc,cij->bij'); the 2048x600x600 tensor is read once per
+    *batch* (HBM-bandwidth-bound, amortized over utterances), instead of the
+    reference's per-utterance 2048 matmul chain (ivector_extract.py:106).
+  * ``proj``  (C, IV, D) = T_c^T Sigma_c^-1      — so linear is one einsum.
+
+The 600x600 solve uses jnp.linalg.solve (batched LU on device).
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class IvectorExtractorParams(NamedTuple):
+    extractor_matrix: jax.Array  # (C, D, IV)   Kaldi "M"
+    sigma_inv: jax.Array         # (C, D, D)
+    offset: jax.Array            # scalar prior offset
+    quad: jax.Array              # (C, IV, IV)
+    proj: jax.Array              # (C, IV, D)
+
+    @property
+    def num_gaussians(self):
+        return self.extractor_matrix.shape[0]
+
+    @property
+    def dim(self):
+        return self.extractor_matrix.shape[1]
+
+    @property
+    def ivector_dim(self):
+        return self.extractor_matrix.shape[2]
+
+
+def build_extractor(extractor_matrix: np.ndarray, sigma_inv: np.ndarray,
+                    offset: float) -> IvectorExtractorParams:
+    proj = np.einsum("cdi,cde->cie", extractor_matrix, sigma_inv)  # (C,IV,D)
+    quad = np.einsum("cie,cej->cij", proj, extractor_matrix)       # (C,IV,IV)
+    return IvectorExtractorParams(
+        extractor_matrix=jnp.asarray(extractor_matrix, jnp.float32),
+        sigma_inv=jnp.asarray(sigma_inv, jnp.float32),
+        offset=jnp.asarray(offset, jnp.float32),
+        quad=jnp.asarray(quad, jnp.float32),
+        proj=jnp.asarray(proj, jnp.float32),
+    )
+
+
+def random_extractor(rng: np.random.Generator, num_gaussians: int = 2048,
+                     dim: int = 60, ivector_dim: int = 600
+                     ) -> IvectorExtractorParams:
+    m = rng.standard_normal((num_gaussians, dim, ivector_dim)) * 0.05
+    a = rng.standard_normal((num_gaussians, dim, dim)) * 0.1
+    sigma_inv = np.einsum("cij,ckj->cik", a, a) + np.eye(dim)
+    return build_extractor(m, sigma_inv, 1.0)
+
+
+def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
+                     first: jnp.ndarray) -> jnp.ndarray:
+    """zeroth: (B, C), first: (B, C, D) -> ivectors (B, IV).
+
+    Matches reference ivector_extract.py:98-114 (Extractivector), batched.
+    """
+    iv = params.ivector_dim
+    l_mat = jnp.einsum("bc,cij->bij", zeroth, params.quad,
+                       precision=jax.lax.Precision.HIGHEST)
+    l_mat = l_mat + jnp.eye(iv, dtype=l_mat.dtype)
+    linear = jnp.einsum("cid,bcd->bi", params.proj, first,
+                        precision=jax.lax.Precision.HIGHEST)
+    linear = linear.at[:, 0].add(params.offset)
+    ivec = jnp.linalg.solve(l_mat, linear[..., None])[..., 0]
+    return ivec.at[:, 0].add(-params.offset)
+
+
+def length_normalize(vec: jnp.ndarray, expected_length: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """vec: (..., D); scales to the expected L2 norm
+    (reference ivector_extract.py:116-125)."""
+    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    return vec * (expected_length / jnp.maximum(norm, 1e-12))

@@ -1,0 +1,142 @@
+"""x-vector TDNN (5 dilated conv layers + stats pooling), functional JAX.
+
+Re-design of reference model/_xv_plda/xvecTDNN.py: Conv1d stacks become
+lax.conv_general_dilated in (B, T, C) layout (XLA maps these onto the MXU),
+BatchNorm1d(affine=False) is a pure normalize with running stats, and the
+CUDA-only train-mode noise injection (xvecTDNN.py:55-60) becomes an explicit
+PRNG-keyed perturbation.
+
+Stats pooling concatenates mean and (unbiased) std over time
+(xvecTDNN.py:62), matching torch.Tensor.std's correction=1 default.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# (kernel, dilation, out_channels) for tdnn1..tdnn5; input channels = 30
+TDNN_SPEC = ((5, 1, 512), (5, 2, 512), (7, 3, 512), (1, 1, 512), (1, 1, 1500))
+
+
+class BNStats(NamedTuple):
+    mean: jax.Array
+    var: jax.Array
+
+
+class TDNNParams(NamedTuple):
+    conv_w: tuple      # 5 x (k, in, out)
+    conv_b: tuple      # 5 x (out,)
+    bn_tdnn: tuple     # 5 x BNStats
+    fc1_w: jax.Array   # (3000, 512)
+    fc1_b: jax.Array
+    bn_fc1: BNStats
+    fc2_w: jax.Array   # (512, 512)
+    fc2_b: jax.Array
+    bn_fc2: BNStats
+    fc3_w: jax.Array   # (512, num_spks)
+    fc3_b: jax.Array
+
+
+def random_tdnn(rng: np.random.Generator, num_spks: int = 251,
+                in_dim: int = 30) -> TDNNParams:
+    ws, bs, bns = [], [], []
+    cin = in_dim
+    for k, dil, cout in TDNN_SPEC:
+        bound = 1.0 / np.sqrt(cin * k)
+        ws.append(jnp.asarray(
+            rng.uniform(-bound, bound, (k, cin, cout)), jnp.float32))
+        bs.append(jnp.asarray(rng.uniform(-bound, bound, cout), jnp.float32))
+        bns.append(BNStats(jnp.zeros(cout), jnp.ones(cout)))
+        cin = cout
+
+    def lin(i, o):
+        bound = 1.0 / np.sqrt(i)
+        return (jnp.asarray(rng.uniform(-bound, bound, (i, o)), jnp.float32),
+                jnp.asarray(rng.uniform(-bound, bound, o), jnp.float32))
+
+    fc1_w, fc1_b = lin(3000, 512)
+    fc2_w, fc2_b = lin(512, 512)
+    fc3_w, fc3_b = lin(512, num_spks)
+    return TDNNParams(tuple(ws), tuple(bs), tuple(bns),
+                      fc1_w, fc1_b, BNStats(jnp.zeros(512), jnp.ones(512)),
+                      fc2_w, fc2_b, BNStats(jnp.zeros(512), jnp.ones(512)),
+                      fc3_w, fc3_b)
+
+
+def _conv1d(x, w, b, dilation):
+    """x: (B, T, Cin); w: (k, Cin, Cout) -> (B, T', Cout), valid padding."""
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return out + b
+
+
+def _bn(x, stats: BNStats, eps=1e-5):
+    return (x - stats.mean) * jax.lax.rsqrt(stats.var + eps)
+
+
+def tdnn_embedding(params: TDNNParams, feats: jnp.ndarray,
+                   train: bool = False, rng: jax.Array | None = None,
+                   noise_eps: float = 1e-5) -> jnp.ndarray:
+    """feats: (B, T, F=30) -> (B, 512) x-vector (pre-nonlinearity fc1 output,
+    matching reference xvecTDNN.embedding)."""
+    x = feats
+    for i, (k, dil, _) in enumerate(TDNN_SPEC):
+        x = _conv1d(x, params.conv_w[i], params.conv_b[i], dil)
+        x = jax.nn.relu(x)
+        x = _bn(x, params.bn_tdnn[i])
+    if train and rng is not None:
+        x = x + noise_eps * jax.random.normal(rng, x.shape, x.dtype)
+    mean = jnp.mean(x, axis=1)
+    var = jnp.var(x, axis=1, ddof=1)                      # torch unbiased std
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    stats = jnp.concatenate([mean, std], axis=-1)         # (B, 3000)
+    return stats @ params.fc1_w + params.fc1_b
+
+
+def tdnn_forward(params: TDNNParams, feats: jnp.ndarray,
+                 train: bool = False, rng=None) -> jnp.ndarray:
+    """Full classifier head -> (B, num_spks) logits
+    (reference xvecTDNN.forward)."""
+    x = tdnn_embedding(params, feats, train=train, rng=rng)
+    x = _bn(jax.nn.relu(x), params.bn_fc1)
+    x = _bn(jax.nn.relu(x @ params.fc2_w + params.fc2_b), params.bn_fc2)
+    return x @ params.fc3_w + params.fc3_b
+
+
+def load_tdnn_from_torch_state(state: dict) -> TDNNParams:
+    """Convert a torch state_dict (tensors or numpy) from the reference
+    checkpoint layout into TDNNParams.  torch Conv1d weight is (out, in, k);
+    we store (k, in, out).  Linear weight (out, in) -> (in, out)."""
+    def arr(k):
+        v = state[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+    ws, bs, bns = [], [], []
+    for i in range(1, 6):
+        w = arr(f"tdnn{i}.weight").transpose(2, 1, 0)
+        ws.append(jnp.asarray(w, jnp.float32))
+        bs.append(jnp.asarray(arr(f"tdnn{i}.bias"), jnp.float32))
+        bns.append(BNStats(
+            jnp.asarray(arr(f"bn_tdnn{i}.running_mean"), jnp.float32),
+            jnp.asarray(arr(f"bn_tdnn{i}.running_var"), jnp.float32)))
+
+    def lin(name):
+        return (jnp.asarray(arr(f"{name}.weight").T, jnp.float32),
+                jnp.asarray(arr(f"{name}.bias"), jnp.float32))
+
+    fc1_w, fc1_b = lin("fc1")
+    fc2_w, fc2_b = lin("fc2")
+    fc3_w, fc3_b = lin("fc3")
+    return TDNNParams(
+        tuple(ws), tuple(bs), tuple(bns),
+        fc1_w, fc1_b,
+        BNStats(jnp.asarray(arr("bn_fc1.running_mean"), jnp.float32),
+                jnp.asarray(arr("bn_fc1.running_var"), jnp.float32)),
+        fc2_w, fc2_b,
+        BNStats(jnp.asarray(arr("bn_fc2.running_mean"), jnp.float32),
+                jnp.asarray(arr("bn_fc2.running_var"), jnp.float32)),
+        fc3_w, fc3_b)
