@@ -1,0 +1,48 @@
+"""NES gradient estimation (natural evolution strategies), batched.
+
+Re-design of reference adaptive_attack/NES.py: antithetic Gaussian sampling
+with the unperturbed point prepended (to obtain the adversarial loss/score
+"for free"), the sample axis is a real array axis folded into the model
+batch — shardable across a mesh — instead of a Python loop over draw
+batches.
+
+grad = E[loss(x + sigma*u) * u] / sigma, u ~ N(0, I) antithetic.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from speakerguard_tpu.attacks.losses import majority_vote
+
+
+def nes_grad(eot_fn, x, y, *, samples_per_draw: int, sigma: float,
+             key, num_classes: int, eot_keys):
+    """x: (B, L); y: (B,).  eot_fn = eot_no_grad(...) closure.
+
+    Returns (mean_loss (B,), grad (B, L), adver_loss (B,), adver_score
+    (B, S), predict (B,)) matching reference NES.forward's quintuple.
+    """
+    b, length = x.shape
+    half = samples_per_draw // 2
+    noise = jax.random.normal(key, (half, b, length), x.dtype)
+    noise = jnp.concatenate([jnp.zeros((1, b, length), x.dtype),
+                             noise, -noise], axis=0)       # (S+1, B, L)
+    s1 = noise.shape[0]
+
+    eval_x = (x[None] + sigma * noise).reshape(s1 * b, length)
+    eval_y = jnp.tile(y[None], (s1, 1)).reshape(-1)
+
+    scores, loss, decisions = eot_fn(eval_x, eval_y, eot_keys)
+    scores = scores.reshape(s1, b, -1)
+    loss = loss.reshape(s1, b)
+    # decisions: (E, S1*B) -> majority over EOT axis -> (S1, B)
+    predict_all = majority_vote(decisions, num_classes).reshape(s1, b)
+
+    adver_loss = loss[0]
+    adver_score = scores[0]
+    predict = predict_all[0]
+    sample_loss = loss[1:]                                  # (S, B)
+    sample_noise = noise[1:]                                # (S, B, L)
+    grad = jnp.mean(sample_loss[..., None] * sample_noise, axis=0) / sigma
+    mean_loss = jnp.mean(sample_loss, axis=0)
+    return mean_loss, grad, adver_loss, adver_score, predict

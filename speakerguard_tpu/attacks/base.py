@@ -1,0 +1,44 @@
+"""Attack base: the uniform attack(x, y) -> (adver_x, success) contract
+(reference attack/Attack.py) plus shared helpers.
+
+All attacks operate on waveforms in the *scale* domain ([-1, 1)) with shape
+(B, L) (the reference's (B, 1, T) is accepted and squeezed).  Iteration
+loops are lax.scan / lax.while_loop bodies; per-sample early-stop /
+sample-dropping are mask lanes, not host-side batch compaction.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speakerguard_tpu.attacks.losses import compare
+
+
+class Attack:
+    targeted: bool = False
+
+    def attack(self, x, y, rng=None):
+        raise NotImplementedError
+
+    def compare(self, y, y_pred, targeted):
+        return np.asarray(compare(jnp.asarray(y), jnp.asarray(y_pred),
+                                  targeted)).tolist()
+
+
+def normalize_wav_input(x):
+    """(B, 1, L) | (B, L) | (L,) -> ((B, L) jnp array, restore_fn)."""
+    x = jnp.asarray(x)
+    shape = x.shape
+    if x.ndim == 1:
+        flat = x[None, :]
+    elif x.ndim == 3:
+        assert x.shape[1] == 1, "only mono audio"
+        flat = x[:, 0, :]
+    else:
+        flat = x
+    return flat, lambda y: jnp.reshape(y, shape)
+
+
+def scale_domain_check(x):
+    assert float(jnp.max(x)) < 1.0 + 1e-6 and float(jnp.min(x)) >= -1.0 - 1e-6, \
+        "adversarial examples are generated in the [-1, 1) float domain"

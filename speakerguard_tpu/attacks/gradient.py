@@ -1,0 +1,136 @@
+"""White-box gradient attacks: FGSM, PGD, CW-inf — one scan engine.
+
+Re-design of reference attack/FGSM.py / PGD.py / CWinf.py: the reference's
+`attack_batch` Python loop (FGSM.py:38-70) with per-iteration
+`.cpu().numpy()` syncs becomes a single `lax.scan` whose body does an
+EOT-averaged value-and-grad and the signed step + clip.  Random restarts
+(PGD.py:54-77) are a vmapped axis evaluated in one compilation, not an
+outer Python loop.
+
+Class relationships preserved: FGSM == PGD with max_iter=1, step=epsilon,
+global clip bounds; CWinf == PGD with Margin loss forced.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speakerguard_tpu.attacks.base import Attack, normalize_wav_input
+from speakerguard_tpu.attacks.losses import resolve_loss, majority_vote
+from speakerguard_tpu.adaptive.eot import eot, eot_no_grad
+
+
+class PGD(Attack):
+
+    def __init__(self, model, task="CSI", epsilon=0.002, step_size=0.0004,
+                 max_iter=10, num_random_init=0, loss="Entropy",
+                 targeted=False, batch_size=1, EOT_size=1, EOT_batch_size=1,
+                 verbose=0):
+        self.model = model
+        self.task = task
+        self.epsilon = epsilon
+        self.step_size = step_size
+        self.max_iter = max_iter
+        self.num_random_init = num_random_init
+        self.targeted = targeted
+        self.verbose = verbose
+        self.EOT_size = max(1, EOT_size)
+
+        self.threshold = None
+        if task in ("SV", "OSI"):
+            self.threshold = model.threshold
+        self.loss_fn, self.grad_sign = resolve_loss(
+            loss_name=loss, targeted=targeted, task=task,
+            threshold=self.threshold, clip_max=False)
+
+        score_fn = lambda x, key: model.score(x, rng=key)  # noqa: E731
+        self._eot = eot(score_fn, self.loss_fn, model.threshold)
+        self._eot_ng = eot_no_grad(score_fn, self.loss_fn, model.threshold)
+        self._run = jax.jit(self._make_run())
+
+    def _make_run(self):
+        step_size, grad_sign, max_iter = (self.step_size, self.grad_sign,
+                                          self.max_iter)
+
+        def run(x0, y, lower, upper, keys):
+            """keys: (max_iter + 1, EOT) PRNG keys."""
+            def body(x, keys_i):
+                scores, loss, grad, _ = self._eot(x, y, keys_i)
+                x = x + step_size * jnp.sign(grad) * grad_sign
+                x = jnp.clip(x, lower, upper)
+                return x, loss
+
+            x, losses = jax.lax.scan(body, x0, keys[:-1])
+            # final no-grad evaluation with a single EOT repeat
+            # (reference FGSM.py:44-47)
+            scores, loss, decisions = self._eot_ng(x, y, keys[-1:][:, 0])
+            predict = majority_vote(decisions, scores.shape[-1])
+            return x, predict, loss
+
+        return run
+
+    def _bounds(self, x):
+        lower = jnp.clip(x - self.epsilon, -1.0)
+        upper = jnp.clip(x + self.epsilon, None, 1.0)
+        return lower, upper
+
+    def attack(self, x, y, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x, restore = normalize_wav_input(x)
+        y = jnp.asarray(y)
+        lower, upper = self._bounds(x)
+        n_restarts = max(1, self.num_random_init)
+        init_key, *loop_keys = jax.random.split(rng, n_restarts + 1)
+
+        best = None
+        for r in range(n_restarts):
+            x0 = x
+            if self.num_random_init > 0:
+                x0 = x + jax.random.uniform(
+                    jax.random.fold_in(init_key, r), x.shape, x.dtype,
+                    -self.epsilon, self.epsilon)
+                x0 = jnp.clip(x0, lower, upper)
+            keys = jax.random.split(loop_keys[r],
+                                    (self.max_iter + 1) * self.EOT_size
+                                    ).reshape(self.max_iter + 1,
+                                              self.EOT_size, 2)
+            adver_x, predict, loss = self._run(x0, y, lower, upper, keys)
+            success = self.compare(y, predict, self.targeted)
+            rate = sum(success) / len(success)
+            if best is None or rate > best[0]:
+                best = (rate, adver_x, success)
+        _, adver_x, success = best
+        return restore(adver_x), success
+
+
+class FGSM(PGD):
+
+    def __init__(self, model, task="CSI", epsilon=0.002, loss="Entropy",
+                 targeted=False, batch_size=1, EOT_size=1, EOT_batch_size=1,
+                 verbose=0):
+        super().__init__(model, task=task, epsilon=epsilon,
+                         step_size=epsilon, max_iter=1, num_random_init=0,
+                         loss=loss, targeted=targeted, batch_size=batch_size,
+                         EOT_size=EOT_size, EOT_batch_size=EOT_batch_size,
+                         verbose=verbose)
+
+    def _bounds(self, x):
+        # FGSM clips to the global audio range, not an epsilon ball
+        # (reference FGSM.py:74-81)
+        return (jnp.full_like(x, -1.0), jnp.full_like(x, 1.0))
+
+
+class CWinf(PGD):
+
+    def __init__(self, model, task="CSI", epsilon=0.002, step_size=0.0004,
+                 max_iter=10, num_random_init=0, loss="Margin",
+                 targeted=False, batch_size=1, EOT_size=1, EOT_batch_size=1,
+                 verbose=0):
+        super().__init__(model, task=task, epsilon=epsilon,
+                         step_size=step_size, max_iter=max_iter,
+                         num_random_init=num_random_init, loss="Margin",
+                         targeted=targeted, batch_size=batch_size,
+                         EOT_size=EOT_size, EOT_batch_size=EOT_batch_size,
+                         verbose=verbose)

@@ -1,0 +1,154 @@
+"""Speech-compression defenses: lossy codec round-trips (7 codecs).
+
+Re-design of reference defense/speech_compression.py: the codec math is
+inherently host-side (ffmpeg subprocesses, native dep N2), so the round-trip
+runs under ``jax.pure_callback`` with static shapes, and the whole defense
+is BPDA-wrapped with an identity backward (straight-through), matching the
+reference's BPDA(Speech_Compression_Non_Diff, identity).
+
+Decoded-length realignment (codecs may pad/shift) follows the reference:
+known per-codec start offsets where stable, otherwise a min-L1-distance
+search (:48-60).
+
+If ffmpeg is unavailable the defense raises at call time with instructions —
+identical failure mode to the reference, which also requires an ffmpeg
+install (instructions_ffmpeg.md).
+"""
+
+import os
+import shlex
+import shutil
+import subprocess
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speakerguard_tpu.adaptive.bpda import bpda
+from speakerguard_tpu.utils.ranges import ABS_MAX
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def _write_wav(path, fs, audio_int16):
+    from scipy.io.wavfile import write
+    write(path, fs, audio_int16)
+
+
+def _read_wav(path):
+    from scipy.io.wavfile import read
+    _, data = read(path)
+    return data
+
+
+def _roundtrip_one(audio: np.ndarray, name: str, param, fs: int,
+                   start_hint, tmp_dir: str, idx: int) -> np.ndarray:
+    """audio: int16 (L,) -> decoded int16 (<= padded back to L)."""
+    src = os.path.join(tmp_dir, f"{idx}.wav")
+    _write_wav(src, fs, audio)
+    coded = os.path.join(tmp_dir, f"{idx}.{name}")
+    cmd1 = f"ffmpeg -y -i {src} -ac 1 -ar {fs} {param[0]} {param[1]} -c:a {param[2]} {coded}"
+    dec = os.path.join(tmp_dir, f"{idx}-dec.wav")
+    cmd2 = f"ffmpeg -y -i {coded} -ac 1 -ar {fs} -c:a pcm_s16le {dec}"
+    for cmd in (cmd1, cmd2):
+        subprocess.run(shlex.split(cmd), check=True,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    out = _read_wav(dec)
+    n = len(audio)
+    if out.size <= n:
+        return np.pad(out, (0, n - out.size)).astype(np.int16)
+    start = start_hint
+    if start is None:
+        a = audio.astype(np.float64) / ABS_MAX
+        o = out.astype(np.float64) / ABS_MAX
+        dists = [np.abs(a - o[s:s + n]).sum()
+                 for s in range(0, out.size - n + 1)]
+        start = int(np.argmin(dists))
+    return out[start:start + n].astype(np.int16)
+
+
+def _compression_host(new: np.ndarray, name: str, param, fs: int,
+                      start_hint, n_jobs: int = 10) -> np.ndarray:
+    """new: float (B, L) in either domain -> same shape/domain."""
+    if not ffmpeg_available():
+        raise RuntimeError(
+            "speech-compression defenses require ffmpeg with codec support "
+            "(libopus/libspeex/amr/fdk-aac/mp3); see the reference's "
+            "instructions_ffmpeg.md")
+    x = np.asarray(new)
+    scale = bool(x.min() >= -2.0 and x.max() <= 2.0)
+    if scale:
+        x = x * ABS_MAX
+    x = np.clip(x, -ABS_MAX, ABS_MAX - 1).astype(np.int16)
+    b = x.shape[0]
+    out = np.empty_like(x)
+    tmp_dir = tempfile.mkdtemp(prefix=f"{name}-coding-")
+    try:
+        def work(i):
+            out[i] = _roundtrip_one(x[i], name, param, fs, start_hint,
+                                    tmp_dir, i)
+        if b == 1 or n_jobs <= 1:
+            for i in range(b):
+                work(i)
+        else:
+            with ThreadPoolExecutor(max_workers=min(n_jobs, b)) as ex:
+                list(ex.map(work, range(b)))
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    res = out.astype(np.float32)
+    if scale:
+        res = res / ABS_MAX
+    return res
+
+
+def _make_codec(name: str, args3, start_hint):
+    def non_diff(audio, param, fs=16000, n_jobs=10):
+        shape = audio.shape
+        x = audio.reshape(shape[0], -1) if audio.ndim == 3 else (
+            audio[None, :] if audio.ndim == 1 else audio)
+        fn = lambda arr: _compression_host(  # noqa: E731
+            arr, name, [args3[0], str(param), args3[1]], fs, start_hint,
+            n_jobs)
+        y = jax.pure_callback(fn, jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                              x, vmap_method="sequential")
+        return y.reshape(shape)
+
+    ste = bpda(non_diff)
+
+    def codec(audio, param, fs=16000, rng=None, n_jobs=10):
+        return ste(audio, param, fs, n_jobs)
+
+    return codec
+
+
+OPUS = _make_codec("opus", ("-b:a", "libopus"), 69)
+SPEEX = _make_codec("spx", ("-b:a", "libspeex"), None)
+AAC_V = _make_codec("aac", ("-vbr", "libfdk_aac"), 2048)
+AAC_C = _make_codec("aac", ("-b:a", "libfdk_aac"), 2048)
+MP3_V = _make_codec("mp3", ("-q:a", "mp3"), 0)
+MP3_C = _make_codec("mp3", ("-b:a", "mp3"), 0)
+
+_AMR_WB = _make_codec("amr", ("-b:a", "libvo_amrwbenc"), None)
+_AMR_NB = _make_codec("amr", ("-b:a", "libopencore_amrnb"), None)
+
+_AMR_LEGAL = {16000: [6600, 8850, 12650, 14250, 15850, 18250, 19850, 23050,
+                      23850],
+              8000: [4750, 5150, 5900, 6700, 7400, 7950, 10200, 12200]}
+
+
+def AMR(audio, param=6600, fs=16000, rng=None, n_jobs=10):
+    if fs not in _AMR_LEGAL:
+        raise NotImplementedError("AMR supports fs in {16000, 8000}")
+    if int(param) not in _AMR_LEGAL[fs]:
+        raise NotImplementedError(f"{param} not allowed for fs={fs}")
+    codec = _AMR_WB if fs == 16000 else _AMR_NB
+    return codec(audio, param, fs, rng=rng, n_jobs=n_jobs)
+
+
+# defaults per reference speech_compression.py:139-201
+DEFAULT_PARAMS = {"OPUS": 16000, "SPEEX": 43200, "AMR": 6600, "AAC_V": 5,
+                  "AAC_C": 20000, "MP3_V": 9, "MP3_C": 16000}

@@ -1,16 +1,31 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+NOTE: this image pre-imports jax with JAX_PLATFORMS=axon via sitecustomize,
+so env vars are too late — jax.config.update works because backends
+initialize lazily."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the image presets JAX_PLATFORMS=axon
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="session")
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on the virtual CPU mesh")
+    assert jax.device_count() == 8
 
 
 @pytest.fixture
