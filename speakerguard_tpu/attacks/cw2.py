@@ -1,0 +1,165 @@
+"""Carlini-Wagner L2 attack.
+
+Re-design of reference attack/CW2.py: tanh box reparameterization, Adam on
+the modifier (optax), loss = c * margin + ||delta||^2, 9-step binary search
+over c, early stop on loss plateau, per-sample best tracking.
+
+The inner optimization runs as one `lax.while_loop` per binary-search step
+(early stop actually stops, unlike a masked scan), with best-so-far tracking
+entirely on device; only the tiny per-search-step c update runs on host.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from speakerguard_tpu.attacks.base import Attack, normalize_wav_input
+from speakerguard_tpu.attacks.losses import margin_loss
+from speakerguard_tpu.models.base import decide
+
+ATANH_CLIP = 0.999999
+
+
+class CW2(Attack):
+
+    def __init__(self, model, task="CSI", targeted=False, confidence=0.0,
+                 initial_const=1e-3, binary_search_steps=9, max_iter=10000,
+                 stop_early=True, stop_early_iter=1000, lr=1e-2,
+                 batch_size=1, verbose=0):
+        self.model = model
+        self.task = task
+        self.targeted = targeted
+        self.confidence = confidence
+        self.initial_const = initial_const
+        self.binary_search_steps = binary_search_steps
+        self.max_iter = max_iter
+        self.stop_early = stop_early
+        self.stop_early_iter = stop_early_iter
+        self.lr = lr
+        self.verbose = verbose
+
+        self.threshold = None
+        if task in ("SV", "OSI"):
+            self.threshold = model.threshold
+
+        self._opt = optax.adam(lr)
+        self._inner = jax.jit(self._make_inner())
+
+    def _loss1(self, scores, y):
+        return margin_loss(scores, y, task=self.task, targeted=self.targeted,
+                           confidence=self.confidence,
+                           threshold=self.threshold, clip_max=True)
+
+    def _make_inner(self):
+        model, opt = self.model, self._opt
+        max_iter, stop_early = self.max_iter, self.stop_early
+        stop_early_iter = self.stop_early_iter
+
+        def run(x, y, const, rng):
+            b = x.shape[0]
+            x_atanh = jnp.arctanh(x * ATANH_CLIP)
+
+            def losses(modifier, key):
+                input_x = jnp.tanh(modifier + x_atanh)
+                scores = model.score(input_x, rng=key)
+                l1 = self._loss1(scores, y)
+                l2 = jnp.sum(jnp.square(input_x - x), axis=-1)
+                return jnp.sum(const * l1 + l2), (l1, l2, scores, input_x)
+
+            def cond(carry):
+                n_iter, _, _, _, _, _, _, _, cont = carry
+                return jnp.logical_and(n_iter <= max_iter, cont)
+
+            def body(carry):
+                (n_iter, modifier, opt_state, best_l2, best_score, gbest,
+                 prev_loss, _, cont) = carry
+                key = jax.random.fold_in(rng, n_iter)
+                grads, (l1, l2, scores, input_x) = jax.grad(
+                    losses, has_aux=True)(modifier, key)
+                decisions, _ = decide(scores, model.threshold)
+
+                do_step = n_iter < max_iter
+                updates, new_opt_state = opt.update(grads, opt_state,
+                                                    modifier)
+                modifier = jnp.where(do_step, modifier + updates, modifier)
+                opt_state = jax.tree.map(
+                    lambda new, old: jnp.where(do_step, new, old),
+                    new_opt_state, opt_state)
+
+                hit = l1 <= 0
+                better = jnp.logical_and(hit, l2 < best_l2)
+                best_l2 = jnp.where(better, l2, best_l2)
+                best_score = jnp.where(better, decisions, best_score)
+                g_l2, g_score, g_x = gbest
+                g_better = jnp.logical_and(hit, l2 < g_l2)
+                gbest = (jnp.where(g_better, l2, g_l2),
+                         jnp.where(g_better, decisions, g_score),
+                         jnp.where(g_better[:, None], input_x, g_x))
+
+                loss_mean = jnp.mean(const * l1 + l2)
+                check = jnp.logical_and(stop_early,
+                                        n_iter % stop_early_iter == 0)
+                cont = jnp.where(
+                    jnp.logical_and(check, loss_mean > 0.9999 * prev_loss),
+                    False, True)
+                prev_loss = jnp.where(check, loss_mean, prev_loss)
+                return (n_iter + 1, modifier, opt_state, best_l2, best_score,
+                        gbest, prev_loss, loss_mean, cont)
+
+            modifier0 = jnp.zeros_like(x)
+            init = (0, modifier0, opt.init(modifier0),
+                    jnp.full((b,), jnp.inf), jnp.full((b,), -2, jnp.int32),
+                    (jnp.full((b,), jnp.inf), jnp.full((b,), -2, jnp.int32),
+                     x),
+                    jnp.inf, jnp.inf, True)
+            (_, _, _, best_l2, best_score, gbest, _, _, _) = \
+                jax.lax.while_loop(cond, body, init)
+            return best_l2, best_score, gbest
+
+        return run
+
+    def attack_batch(self, x, y, rng):
+        b = x.shape[0]
+        const = np.full(b, self.initial_const, np.float64)
+        lower_bound = np.zeros(b)
+        upper_bound = np.full(b, 1e10)
+        global_l2 = np.full(b, np.inf)
+        global_score = np.full(b, -2, np.int64)
+        global_x = np.asarray(x)
+
+        for step in range(self.binary_search_steps):
+            key = jax.random.fold_in(rng, step)
+            best_l2, best_score, (g_l2, g_score, g_x) = self._inner(
+                x, y, jnp.asarray(const, jnp.float32), key)
+            best_score = np.asarray(best_score)
+            g_l2, g_score, g_x = (np.asarray(g_l2), np.asarray(g_score),
+                                  np.asarray(g_x))
+            improved = g_l2 < global_l2
+            global_l2 = np.where(improved, g_l2, global_l2)
+            global_score = np.where(improved, g_score, global_score)
+            global_x = np.where(improved[:, None], g_x, global_x)
+
+            for j in range(b):
+                if best_score[j] != -2:  # succeeded at this c
+                    upper_bound[j] = min(upper_bound[j], const[j])
+                    if upper_bound[j] < 1e9:
+                        const[j] = (lower_bound[j] + upper_bound[j]) / 2
+                else:
+                    lower_bound[j] = max(lower_bound[j], const[j])
+                    if upper_bound[j] < 1e9:
+                        const[j] = (lower_bound[j] + upper_bound[j]) / 2
+                    else:
+                        const[j] *= 10
+            if self.verbose:
+                print(f"cw2 step {step}: c={const}, best_l2={global_l2}")
+
+        success = (global_score != -2).tolist()
+        return jnp.asarray(global_x), success
+
+    def attack(self, x, y, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x, restore = normalize_wav_input(x)
+        y = jnp.asarray(y)
+        adver_x, success = self.attack_batch(x, y, rng)
+        return restore(adver_x), success

@@ -1,0 +1,239 @@
+"""FAKEBOB — black-box score-based attack (IEEE S&P'21).
+
+Re-design of reference attack/FAKEBOB.py: NES gradient estimation +
+momentum + per-sample plateau LR decay + early stop.  The reference drops
+solved samples from the working batch by rebuilding tensors on the host
+(`delete_found`, FAKEBOB.py:125-168); here solved samples are an inactive
+mask lane and the whole iteration loop is one `lax.while_loop` that exits
+when every lane is inactive.
+
+Per-sample plateau history is a (B, plateau_length) ring buffer.  (Note the
+reference's `last_ls = [[]] * n_audios` aliases ONE list across the batch —
+harmless at its default batch_size=1; we implement the per-sample semantics
+the code intends.)
+
+Also implements the SV/OSI decision-threshold estimation algorithm
+(FAKEBOB.py:210-295): a host-driven loop over candidate thresholds, with the
+inner NES iteration jitted (threshold is a traced argument, so no
+recompilation as candidates change).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speakerguard_tpu.attacks.base import Attack, normalize_wav_input
+from speakerguard_tpu.attacks.losses import margin_loss
+from speakerguard_tpu.adaptive.eot import eot_no_grad
+from speakerguard_tpu.adaptive.nes import nes_grad
+from speakerguard_tpu.models.base import decide
+
+
+class FAKEBOB(Attack):
+
+    def __init__(self, model, threshold=None, task="CSI", targeted=False,
+                 confidence=0.0, epsilon=0.002, max_iter=1000, max_lr=0.001,
+                 min_lr=1e-6, samples_per_draw=50,
+                 samples_per_draw_batch_size=50, sigma=0.001, momentum=0.9,
+                 plateau_length=5, plateau_drop=2.0, stop_early=True,
+                 stop_early_iter=100, batch_size=1, EOT_size=1,
+                 EOT_batch_size=1, verbose=0):
+        self.model = model
+        self.threshold = threshold
+        self.task = task
+        self.targeted = targeted
+        self.confidence = confidence
+        self.epsilon = epsilon
+        self.max_iter = max_iter
+        self.max_lr = max_lr
+        self.min_lr = min_lr
+        self.samples_per_draw = samples_per_draw
+        self.sigma = sigma
+        self.momentum = momentum
+        self.plateau_length = plateau_length
+        self.plateau_drop = plateau_drop
+        self.stop_early = stop_early
+        self.stop_early_iter = stop_early_iter
+        self.EOT_size = max(1, EOT_size)
+        self.verbose = verbose
+        self.grad_sign = -1  # Margin loss
+        self._run_cache = {}
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, threshold):
+        def fn(scores, label):
+            return margin_loss(scores, label, task=self.task,
+                               targeted=self.targeted,
+                               confidence=self.confidence,
+                               threshold=threshold, clip_max=False)
+        return fn
+
+    def _nes_step(self, x, y, threshold, key):
+        """One NES gradient estimate.  threshold: traced scalar."""
+        score_fn = lambda xx, kk: self.model.score(xx, rng=kk)  # noqa: E731
+        eot_fn = eot_no_grad(score_fn, self._loss_fn(threshold),
+                             self.model.threshold)
+        nkey, ekey = jax.random.split(key)
+        eot_keys = jax.random.split(ekey, self.EOT_size)
+        num_classes = (self.model.num_spks if self.model.num_spks
+                       else 1)
+        return nes_grad(eot_fn, x, y, samples_per_draw=self.samples_per_draw,
+                        sigma=self.sigma, key=nkey, num_classes=num_classes,
+                        eot_keys=eot_keys)
+
+    def _make_run(self):
+        momentum, plateau_length = self.momentum, self.plateau_length
+        plateau_drop, min_lr = self.plateau_drop, self.min_lr
+        max_iter, stop_early = self.max_iter, self.stop_early
+        stop_early_iter, grad_sign = self.stop_early_iter, self.grad_sign
+
+        def run(x0, y, lower, upper, threshold, rng):
+            b, length = x0.shape
+
+            def cond(c):
+                return jnp.logical_and(c["it"] <= max_iter,
+                                       jnp.any(c["active"]))
+
+            def body(c):
+                key = jax.random.fold_in(rng, c["it"])
+                loss, grad, adver_loss, _, y_pred = self._nes_step(
+                    c["x"], y, threshold, key)
+
+                better = jnp.logical_and(c["active"],
+                                         adver_loss < c["best_loss"])
+                best_loss = jnp.where(better, adver_loss, c["best_loss"])
+                best_x = jnp.where(better[:, None], c["x"], c["best_x"])
+
+                # drop found (adver_loss < 0)
+                active = jnp.logical_and(c["active"],
+                                         jnp.logical_not(adver_loss < 0))
+
+                grad = momentum * c["prev_grad"] + (1.0 - momentum) * grad
+
+                # plateau LR decay ring buffer
+                ring = jnp.concatenate(
+                    [c["ring"][:, 1:], loss[:, None]], axis=1)
+                count = jnp.minimum(c["count"] + 1, plateau_length)
+                full = count == plateau_length
+                trigger = jnp.logical_and(full, ring[:, -1] > ring[:, 0])
+                lr = jnp.where(trigger,
+                               jnp.maximum(c["lr"] / plateau_drop, min_lr),
+                               c["lr"])
+                count = jnp.where(trigger, 0, count)
+
+                x = c["x"] + grad_sign * lr[:, None] * jnp.sign(grad)
+                x = jnp.clip(x, lower, upper)
+                x = jnp.where(active[:, None], x, c["x"])
+
+                # early-stop lane drop on convergence
+                check = jnp.logical_and(stop_early,
+                                        c["it"] % stop_early_iter == 0)
+                converged = c["prev_loss"] * 0.9999 - loss < 0
+                active = jnp.where(jnp.logical_and(check, converged),
+                                   False, active)
+                prev_loss = jnp.where(check, loss, c["prev_loss"])
+
+                return dict(it=c["it"] + 1, x=x, prev_grad=grad, lr=lr,
+                            ring=ring, count=count, active=active,
+                            best_loss=best_loss, best_x=best_x,
+                            prev_loss=prev_loss)
+
+            init = dict(
+                it=jnp.asarray(0), x=x0,
+                prev_grad=jnp.zeros_like(x0),
+                lr=jnp.full((b,), self.max_lr, jnp.float32),
+                ring=jnp.zeros((b, plateau_length), jnp.float32),
+                count=jnp.zeros((b,), jnp.int32),
+                active=jnp.ones((b,), bool),
+                best_loss=jnp.full((b,), jnp.inf, jnp.float32),
+                best_x=x0,
+                prev_loss=jnp.full((b,), jnp.inf, jnp.float32))
+            final = jax.lax.while_loop(cond, body, init)
+            return final["best_x"], final["best_loss"]
+
+        return run
+
+    # ------------------------------------------------------------------
+    def attack(self, x, y, rng=None):
+        if self.task in ("SV", "OSI") and self.threshold is None:
+            raise RuntimeError(
+                f"black-box attack on {self.task} requires a threshold; "
+                "call estimate_threshold first")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x, restore = normalize_wav_input(x)
+        y = jnp.asarray(y)
+        lower = jnp.clip(x - self.epsilon, -1.0)
+        upper = jnp.clip(x + self.epsilon, None, 1.0)
+
+        if "run" not in self._run_cache:
+            self._run_cache["run"] = jax.jit(self._make_run())
+        thr = jnp.asarray(self.threshold if self.threshold is not None
+                          else 0.0, jnp.float32)
+        best_x, best_loss = self._run_cache["run"](x, y, lower, upper, thr,
+                                                   rng)
+        success = (np.asarray(best_loss) < 0).tolist()
+        return restore(best_x), success
+
+    # ------------------------------------------------------------------
+    def estimate_threshold_run(self, x, step=0.1, rng=None):
+        """Single-utterance threshold estimation (FAKEBOB.py:210-278).
+        x: (1, L) rejected by the model.  Host-driven; NES steps jitted."""
+        rng = rng if rng is not None else jax.random.PRNGKey(1)
+        d, s = self.model.make_decision(x)
+        if int(d[0]) != -1:
+            return None  # already accepted: unusable
+        y = jnp.asarray([-1])
+        init_score = float(jnp.max(s[0]))
+        delta = abs(init_score * step)
+        threshold = init_score + delta
+
+        lower = jnp.clip(x - self.epsilon, -1.0)
+        upper = jnp.clip(x + self.epsilon, None, 1.0)
+        adver_x = x
+        grad = jnp.zeros_like(x)
+
+        if "step" not in self._run_cache:
+            def one_step(adver_x, y, thr, prev_grad, lr, key):
+                loss, g, _, _, _ = self._nes_step(adver_x, y, thr, key)
+                g = self.momentum * prev_grad + (1.0 - self.momentum) * g
+                nx = adver_x + self.grad_sign * lr * jnp.sign(g)
+                return jnp.clip(nx, lower, upper), g, loss
+            self._run_cache["step"] = jax.jit(one_step)
+
+        it = 0
+        while True:
+            lr = self.max_lr
+            ring = []
+            while True:
+                d, s = self.model.make_decision(adver_x)
+                score = float(jnp.max(s[0]))
+                if int(d[0]) != -1:
+                    return score  # accepted: threshold found
+                if score >= threshold:
+                    break  # exceeded candidate without acceptance
+                key = jax.random.fold_in(rng, it)
+                adver_x, grad, loss = self._run_cache["step"](
+                    adver_x, y, jnp.asarray(threshold, jnp.float32), grad,
+                    lr, key)
+                lv = float(loss[0])
+                ring = (ring + [lv])[-self.plateau_length:]
+                if len(ring) == self.plateau_length and ring[-1] > ring[0]:
+                    if lr > self.min_lr:
+                        lr = max(lr / self.plateau_drop, self.min_lr)
+                    ring = []
+                it += 1
+            threshold += delta
+
+    def estimate_threshold(self, x, step=0.1, rng=None):
+        """x: (B, 1, L) or (B, L) candidate rejected utterances; sets
+        self.threshold to the mean estimate (FAKEBOB.py:280-295)."""
+        if self.task == "CSI":
+            return None
+        x, _ = normalize_wav_input(x)
+        estimates = []
+        for i in range(x.shape[0]):
+            est = self.estimate_threshold_run(x[i:i + 1], step, rng)
+            if est is not None:
+                estimates.append(est)
+        self.threshold = float(np.mean(estimates)) if estimates else None
+        return self.threshold

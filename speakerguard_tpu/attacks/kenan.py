@@ -1,0 +1,140 @@
+"""Kenansville attack — decision-free signal-processing attack.
+
+Re-design of reference attack/Kenan.py / _kenan_fft.py / _kenan.py: binary
+search over a spectral-compression factor.
+
+  * ``fft`` variant: zero rFFT bins whose magnitude is below the per-sample
+    factor; fully batched on device as a lax.scan over binary-search
+    iterations (reference _kenan_fft.py:180-244).
+  * ``ssa`` variant: reconstruct from the top-k SSA components; the SVD
+    stays host-side (see ops/ssa.py), mirroring the reference's forced-CPU
+    choice; batch=1 like the reference.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speakerguard_tpu.attacks.base import Attack, normalize_wav_input
+from speakerguard_tpu.ops.ssa import ssa, inv_ssa
+from speakerguard_tpu.utils.ranges import ABS_MAX
+
+
+def fft_compression(x: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
+    """Zero rFFT bins with |X_k| < factor (per sample).  x: (B, L)."""
+    spec = jnp.fft.rfft(x, axis=-1)
+    keep = jnp.abs(spec) >= factor[:, None]
+    return jnp.fft.irfft(jnp.where(keep, spec, 0.0), n=x.shape[-1], axis=-1)
+
+
+class Kenan(Attack):
+
+    def __init__(self, model, atk_name="fft", max_iter=15, raster_width=100,
+                 early_stop=False, targeted=False, verbose=0, BITS=16,
+                 batch_size=1):
+        self.model = model
+        self.atk_name = atk_name
+        self.max_iter = max_iter
+        self.raster_width = raster_width
+        self.targeted = targeted
+        self.verbose = verbose
+        self.BITS = BITS
+        self.early_stop = early_stop
+        self._fft_run = None
+
+    # ------------------------------------------------------------------
+    def _make_fft_run(self):
+        model, targeted, max_iter = self.model, self.targeted, self.max_iter
+
+        def run(x, y, rng):
+            max_f = jnp.max(jnp.abs(jnp.fft.fft(x, axis=-1)), axis=-1)
+            min_f = jnp.zeros_like(max_f)
+            factor = max_f / 2.0
+
+            def body(carry, it):
+                min_f, max_f, factor, best_x, succ = carry
+                key = jax.random.fold_in(rng, it)
+                perturbed = fft_compression(x, factor)
+                decisions, _ = model.make_decision(perturbed, rng=key)
+                hit = (decisions == y) if targeted else (decisions != y)
+                best_x = jnp.where(hit[:, None], perturbed, best_x)
+                succ = jnp.logical_or(succ, hit)
+                max_f = jnp.where(hit, factor, max_f)
+                min_f = jnp.where(hit, min_f, factor)
+                factor = jnp.abs(min_f + max_f) / 2.0
+                return (min_f, max_f, factor, best_x, succ), None
+
+            init = (min_f, max_f, factor, x, jnp.zeros(x.shape[0], bool))
+            carry, _ = jax.lax.scan(body, init, jnp.arange(max_iter))
+            _, _, _, best_x, succ = carry
+            return best_x, succ
+
+        return run
+
+    def _attack_fft(self, x, y, rng):
+        if self._fft_run is None:
+            self._fft_run = jax.jit(self._make_fft_run())
+        best_x, succ = self._fft_run(x, y, rng)
+        return best_x, np.asarray(succ).tolist()
+
+    # ------------------------------------------------------------------
+    def _attack_ssa(self, x, y, rng):
+        """batch=1, host-side SSA with device model calls
+        (reference _kenan.py:181-291 semantics)."""
+        assert x.shape[0] == 1, "ssa variant is single-utterance"
+        wav = np.asarray(x[0], np.float64)
+        if 0.9 * wav.max() <= 1 and 0.9 * wav.min() >= -1:
+            wav_i = (wav * ABS_MAX)
+        else:
+            wav_i = wav
+        wav_i = wav_i.astype(np.int16).astype(np.float64)
+        n = len(wav_i)
+        window = min(int(n * 0.05), 3000)
+        pc, s, v = ssa(wav_i, window)
+
+        def keep_of(val):
+            k = int(window * val / 100.0)
+            return max(k, 1)
+
+        min_a, max_a, val = 0.0, float(self.raster_width), \
+            float(self.raster_width) / 2
+        best = wav_i.copy()
+        succ = False
+        label = int(y[0])
+        for it in range(self.max_iter):
+            rec = inv_ssa(pc, v, np.arange(keep_of(val)))
+            rec_scale = np.asarray(rec, np.float32) / ABS_MAX
+            d, _ = self.model.make_decision(
+                jnp.asarray(rec_scale[None]),
+                rng=jax.random.fold_in(rng, it))
+            pred = int(d[0])
+            hit = (pred == label) if self.targeted else (pred != label)
+            if hit:
+                best = rec
+                succ = True
+                min_a = val  # ssa: success -> keep fewer components
+            else:
+                max_a = val
+            new_val = abs(min_a + max_a) / 2
+            if keep_of(new_val) == keep_of(val) and self.early_stop:
+                break
+            val = new_val
+        return jnp.asarray((best / ABS_MAX).astype(np.float32))[None], [succ]
+
+    # ------------------------------------------------------------------
+    def attack(self, x, y, rng=None, fs=16000):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x, restore = normalize_wav_input(x)
+        y = jnp.asarray(y)
+        if self.atk_name == "fft":
+            adver, succ = self._attack_fft(x, y, rng)
+            return restore(adver), succ
+        if self.atk_name == "ssa":
+            outs, succ = [], []
+            for i in range(x.shape[0]):
+                o, s = self._attack_ssa(x[i:i + 1], y[i:i + 1],
+                                        jax.random.fold_in(rng, i))
+                outs.append(o)
+                succ += s
+            return restore(jnp.concatenate(outs, 0)), succ
+        raise NotImplementedError(self.atk_name)

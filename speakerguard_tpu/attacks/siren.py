@@ -1,0 +1,212 @@
+"""SirenAttack — black-box particle swarm optimization attack.
+
+Re-design of reference attack/SirenAttack.py: the particle axis is a real
+array axis folded into the model batch (one evaluation for all B x P
+particles), the per-epoch inner loop is a jitted `lax.scan` with per-sample
+active masks replacing the host-side `delete_found` tensor rebuilds
+(SirenAttack.py:191-232), and the epoch-wise particle re-init keeping the
+best particle (:66-79) happens between compiled epochs.
+
+PSO dynamics preserved: inertia annealed w, c1/c2 cognitive/social terms
+with fresh uniform r1/r2 each iteration, velocity bounds +-|upper-lower|,
+two-level early abort (:138-144, :176-181).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from speakerguard_tpu.attacks.base import Attack, normalize_wav_input
+from speakerguard_tpu.attacks.losses import margin_loss, majority_vote
+from speakerguard_tpu.adaptive.eot import eot_no_grad
+
+
+class SirenAttack(Attack):
+
+    def __init__(self, model, threshold=None, task="CSI", targeted=False,
+                 confidence=0.0, epsilon=0.002, max_epoch=300, max_iter=30,
+                 c1=1.4961, c2=1.4961, n_particles=25, w_init=0.9,
+                 w_end=0.1, batch_size=1, EOT_size=1, EOT_batch_size=1,
+                 verbose=0, abort_early=True, abort_early_iter=10,
+                 abort_early_epoch=10):
+        self.model = model
+        self.threshold = threshold
+        self.task = task
+        self.targeted = targeted
+        self.confidence = confidence
+        self.epsilon = epsilon
+        self.max_epoch = max_epoch
+        self.max_iter = max_iter
+        self.c1, self.c2 = c1, c2
+        self.n_particles = n_particles
+        self.w_init, self.w_end = w_init, w_end
+        self.EOT_size = max(1, EOT_size)
+        self.verbose = verbose
+        self.abort_early = abort_early
+        self.abort_early_iter = abort_early_iter
+        self.abort_early_epoch = abort_early_epoch
+        self._epoch_fn = None
+
+    def _loss_fn(self):
+        def fn(scores, label):
+            return margin_loss(scores, label, task=self.task,
+                               targeted=self.targeted,
+                               confidence=self.confidence,
+                               threshold=self.threshold, clip_max=False)
+        return fn
+
+    def _make_epoch(self):
+        p = self.n_particles
+        score_fn = lambda xx, kk: self.model.score(xx, rng=kk)  # noqa: E731
+        eot_fn = eot_no_grad(score_fn, self._loss_fn(), self.model.threshold)
+        c1, c2 = self.c1, self.c2
+        w_init, w_end, max_iter = self.w_init, self.w_end, self.max_iter
+        abort_early, abort_iter = self.abort_early, self.abort_early_iter
+
+        def epoch(x, y, lower, upper, pbest_locations, pbests, gbest_loc,
+                  gbests, gbest_pred, active, rng):
+            b, length = x.shape
+            v_upper = jnp.abs(upper - lower)
+            vkey, lkey = jax.random.split(rng)
+            velocities = jax.random.uniform(
+                vkey, (b, p, length), x.dtype, -v_upper[:, None, :],
+                v_upper[:, None, :])
+            locations = pbest_locations
+
+            def body(carry, it):
+                (locations, velocities, pbest_locations, pbests, gbest_loc,
+                 gbests, gbest_pred, active, prev_gbest, cont) = carry
+                key = jax.random.fold_in(lkey, it)
+                k_eot, k1, k2 = jax.random.split(key, 3)
+
+                eval_x = (locations + x[:, None, :]).reshape(b * p, length)
+                eval_y = jnp.repeat(y, p)
+                eot_keys = jax.random.split(k_eot, self.EOT_size)
+                scores, loss, decisions = eot_fn(eval_x, eval_y, eot_keys)
+                num_classes = scores.shape[-1]
+                predict = majority_vote(decisions, num_classes
+                                        ).reshape(b, p)
+                loss = loss.reshape(b, p)
+
+                do = jnp.logical_and(cont, active)[:, None]
+                upd = jnp.logical_and(do, loss < pbests)
+                pbests = jnp.where(upd, loss, pbests)
+                pbest_locations = jnp.where(upd[..., None], locations,
+                                            pbest_locations)
+
+                best_idx = jnp.argmin(pbests, axis=1)
+                best_val = jnp.take_along_axis(pbests, best_idx[:, None],
+                                               1)[:, 0]
+                better = jnp.logical_and(do[:, 0], best_val < gbests)
+                gbests = jnp.where(better, best_val, gbests)
+                gbest_loc = jnp.where(
+                    better[:, None],
+                    jnp.take_along_axis(pbest_locations,
+                                        best_idx[:, None, None], 1)[:, 0],
+                    gbest_loc)
+                gbest_pred = jnp.where(
+                    better, jnp.take_along_axis(predict, best_idx[:, None],
+                                                1)[:, 0], gbest_pred)
+
+                # inner early abort on mean gbest plateau
+                check = jnp.logical_and(abort_early,
+                                        (it + 1) % abort_iter == 0)
+                plateau = jnp.mean(gbests) > 0.9999 * jnp.mean(prev_gbest)
+                cont = jnp.where(jnp.logical_and(check, plateau), False,
+                                 cont)
+                prev_gbest = jnp.where(check, gbests, prev_gbest)
+
+                active = jnp.logical_and(active, gbests >= 0)
+                cont = jnp.logical_and(cont, jnp.any(active))
+
+                w = (w_init - w_end) * (max_iter - it - 1) / max_iter + w_end
+                r1 = jax.random.uniform(k1, (b, p, length)) + 1e-5
+                r2 = jax.random.uniform(k2, (b, p, length)) + 1e-5
+                velocities_new = (w * velocities
+                                  + c1 * r1 * (pbest_locations - locations)
+                                  + c2 * r2 * (gbest_loc[:, None, :]
+                                               - locations))
+                locations_new = jnp.clip(locations + velocities_new,
+                                         lower[:, None, :],
+                                         upper[:, None, :])
+                step_ok = jnp.logical_and(do, it < max_iter)[..., None]
+                velocities = jnp.where(step_ok, velocities_new, velocities)
+                locations = jnp.where(step_ok, locations_new, locations)
+
+                return (locations, velocities, pbest_locations, pbests,
+                        gbest_loc, gbests, gbest_pred, active, prev_gbest,
+                        cont), None
+
+            init = (locations, velocities, pbest_locations, pbests,
+                    gbest_loc, gbests, gbest_pred, active, gbests,
+                    jnp.asarray(True))
+            carry, _ = jax.lax.scan(body, init, jnp.arange(max_iter + 1))
+            (_, _, pbest_locations, pbests, gbest_loc, gbests, gbest_pred,
+             active, _, _) = carry
+            return pbest_locations, pbests, gbest_loc, gbests, gbest_pred, \
+                active
+
+        return epoch
+
+    def attack(self, x, y, rng=None):
+        if self.task in ("SV", "OSI") and self.threshold is None:
+            raise RuntimeError(
+                f"black-box attack on {self.task} requires a threshold; "
+                "estimate it with FAKEBOB")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x, restore = normalize_wav_input(x)
+        y = jnp.asarray(y)
+        b, length = x.shape
+        p = self.n_particles
+        # distortion bounds (SirenAttack.py:251-252)
+        lower = jnp.clip(-1.0 - x, -self.epsilon)
+        upper = jnp.clip(1.0 - x, None, self.epsilon)
+
+        if self._epoch_fn is None:
+            self._epoch_fn = jax.jit(self._make_epoch())
+
+        gbest_loc = jnp.zeros((b, length), x.dtype)
+        gbests = jnp.full((b,), jnp.inf, jnp.float32)
+        gbest_pred = jnp.full((b,), -2, jnp.int32)
+        active = jnp.ones((b,), bool)
+        prev_gbest_epoch = gbests
+
+        for epoch in range(self.max_epoch):
+            ekey = jax.random.fold_in(rng, epoch)
+            ikey, ekey2 = jax.random.split(ekey)
+            if epoch == 0:
+                pbest_locations = jax.random.uniform(
+                    ikey, (b, p, length), x.dtype, lower[:, None, :],
+                    upper[:, None, :])
+                pbests = jnp.full((b, p), jnp.inf, jnp.float32)
+            else:
+                best_idx = jnp.argmin(pbests, axis=1)
+                best_loc = jnp.take_along_axis(
+                    pbest_locations, best_idx[:, None, None], 1)
+                best_val = jnp.take_along_axis(pbests, best_idx[:, None], 1)
+                fresh = jax.random.uniform(
+                    ikey, (b, p - 1, length), x.dtype, lower[:, None, :],
+                    upper[:, None, :])
+                pbest_locations = jnp.concatenate([best_loc, fresh], axis=1)
+                pbests = jnp.concatenate(
+                    [best_val, jnp.full((b, p - 1), jnp.inf, jnp.float32)],
+                    axis=1)
+
+            (pbest_locations, pbests, gbest_loc, gbests, gbest_pred,
+             active) = self._epoch_fn(x, y, lower, upper, pbest_locations,
+                                      pbests, gbest_loc, gbests, gbest_pred,
+                                      active, ekey2)
+
+            if not bool(jnp.any(active)):
+                break
+            if self.abort_early and (epoch + 1) % self.abort_early_epoch == 0:
+                if float(jnp.mean(gbests)) > 0.9999 * float(
+                        jnp.mean(prev_gbest_epoch)):
+                    break
+                prev_gbest_epoch = gbests
+            if self.verbose:
+                print(f"siren epoch {epoch}: gbests="
+                      f"{np.asarray(gbests).tolist()}")
+
+        success = (np.asarray(gbests) < 0).tolist()
+        return restore(gbest_loc + x), success

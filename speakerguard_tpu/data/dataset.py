@@ -1,0 +1,116 @@
+"""Speaker datasets + host-side batched loader.
+
+Re-design of reference dataset/Dataset.py: walks root/name/<spk_id>/<utt>.wav,
+label = index into spk_ids else -1 (imposter), optional int16-domain scaling
+(normalize=False), random-crop / zero-pad to wav_length for static shapes.
+
+IO is scipy.io.wavfile (no torchaudio); the loader yields numpy batches
+ready to ship to device — batching here is what feeds the TPU's batch axis,
+replacing the reference's per-utterance loops.
+
+The five named datasets (Spk10_enroll/test/imposter, Spk251_train/test) pin
+normalize/bits exactly like the reference one-liner subclasses.  Download
+URLs are recorded but auto-download requires network (gdown), so absent
+datasets raise with instructions.
+"""
+
+import os
+
+import numpy as np
+
+from speakerguard_tpu.utils.audio_io import read_wav
+
+_GDRIVE_IDS = {
+    "Spk10_enroll": "1BBAo64JOahk0F3yBAovnRLZ1NvjwBy7y",
+    "Spk10_test": "1WctqJtP5Es74-U7y3cFXqfHi7JkDz6g5",
+    "Spk10_imposter": "1f1GULs0aj_Xrw8JRxe6zzvTN3r2nnOf6",
+    "Spk251_train": "1iGcMPiPMzcCLI7xKJLwH1L0Ff_95-tmB",
+    "Spk251_test": "1rsXzuEyi5Zqd1XAsr1_Op7mC7hqY0tsp",
+}
+
+
+class Dataset:
+
+    def __init__(self, spk_ids, root, name, normalize=False, bits=16,
+                 return_file_name=False, wav_length=None, seed=0):
+        self.spk_ids = list(spk_ids)
+        self.root = os.path.join(root, name)
+        if not os.path.exists(self.root):
+            hint = ""
+            if name in _GDRIVE_IDS:
+                hint = (f"; download: gdown 'https://drive.google.com/uc?id="
+                        f"{_GDRIVE_IDS[name]}&export=download' && "
+                        f"tar -xzf {name}.tar.gz")
+            raise FileNotFoundError(f"dataset {self.root} not found{hint}")
+        self.audio_paths = []
+        for spk_id in sorted(os.listdir(self.root)):
+            spk_dir = os.path.join(self.root, spk_id)
+            if not os.path.isdir(spk_dir):
+                continue
+            for audio_name in sorted(os.listdir(spk_dir)):
+                if audio_name.endswith(".wav"):
+                    self.audio_paths.append((spk_id, audio_name))
+        self.normalize = normalize
+        self.bits = bits
+        self.return_file_name = return_file_name
+        self.wav_length = wav_length
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.audio_paths)
+
+    def __getitem__(self, idx):
+        spk_id, audio_name = self.audio_paths[idx]
+        label = (self.spk_ids.index(spk_id) if spk_id in self.spk_ids
+                 else -1)
+        path = os.path.join(self.root, spk_id, audio_name)
+        audio = read_wav(path)  # float32 in [-1, 1), (L,)
+        if not self.normalize:
+            audio = audio * (2.0 ** (self.bits - 1))
+        if self.wav_length:
+            n = len(audio)
+            if self.wav_length < n:
+                start = self._rng.integers(0, n - self.wav_length + 1)
+                audio = audio[start:start + self.wav_length]
+            elif self.wav_length > n:
+                audio = np.pad(audio, (0, self.wav_length - n))
+        audio = audio[None, :]  # (1, L) mono channel, like the reference
+        if self.return_file_name:
+            return audio, label, os.path.splitext(audio_name)[0]
+        return audio, label
+
+    def batches(self, batch_size, shuffle=False, drop_last=False):
+        """Yield (wavs (B, 1, L), labels (B,)[, names]) numpy batches.
+        Requires wav_length (static shapes) when batch_size > 1."""
+        order = np.arange(len(self))
+        if shuffle:
+            self._rng.shuffle(order)
+        for s in range(0, len(order), batch_size):
+            idxs = order[s:s + batch_size]
+            if drop_last and len(idxs) < batch_size:
+                break
+            items = [self[i] for i in idxs]
+            wavs = np.stack([it[0] for it in items]).astype(np.float32)
+            labels = np.array([it[1] for it in items], np.int64)
+            if self.return_file_name:
+                yield wavs, labels, [it[2] for it in items]
+            else:
+                yield wavs, labels
+
+
+def _named(name, normalize, bits=16):
+    class _D(Dataset):
+        def __init__(self, spk_ids, root="./data", return_file_name=False,
+                     wav_length=None, seed=0):
+            super().__init__(spk_ids, root, name, normalize=normalize,
+                             bits=bits, return_file_name=return_file_name,
+                             wav_length=wav_length, seed=seed)
+    _D.__name__ = name
+    return _D
+
+
+Spk10_enroll = _named("Spk10_enroll", normalize=False)
+Spk10_test = _named("Spk10_test", normalize=False)
+Spk10_imposter = _named("Spk10_imposter", normalize=False)
+Spk251_train = _named("Spk251_train", normalize=True)
+Spk251_test = _named("Spk251_test", normalize=True)

@@ -77,9 +77,11 @@ def test_lpf_attenuates_high_freq():
     lo = np.sin(2 * np.pi * 500 * t).astype(np.float32)
     hi = np.sin(2 * np.pi * 7000 * t).astype(np.float32)
     y = np.asarray(FD.LPF(jnp.asarray((lo + hi)[None]), param=6000, wp=4000))
-    # high band mostly gone: residual power ~ lo power
-    corr_lo = np.corrcoef(y[0, 2000:], lo[2000:])[0, 1]
-    assert corr_lo > 0.95
+    spec = np.abs(np.fft.rfft(y[0, 2000:]))
+    freqs = np.fft.rfftfreq(len(y[0]) - 2000, 1 / 16000)
+    p500 = spec[np.argmin(np.abs(freqs - 500))]
+    p7000 = spec[np.argmin(np.abs(freqs - 7000))]
+    assert p7000 < 0.02 * p500  # stopband >= ~40 dB down, passband intact
 
 
 def test_kmeans_compress_shapes_and_grad(rng):
