@@ -1,0 +1,77 @@
+"""Benchmark: PGD-100 white-box attack on xvector-PLDA CSI-E.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures end-to-end utterances/sec of a full PGD-100 attack (100 iterations
+of MFCC -> CMVN -> TDNN -> PLDA forward + VJP + signed step) on one chip,
+with 3-second utterances.  vs_baseline is computed against a measured
+reference-equivalent per-utterance PyTorch CPU pipeline when available, else
+against the recorded reference throughput constant below.
+
+Reference point: the PyTorch reference runs this per-utterance with Python
+loops at every feature stage; measured on this host's CPU via the
+bench_reference.py harness (see bench_baseline.json if present).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from speakerguard_tpu.models.xv_plda import (
+        XvPlda, random_xv_plda_params)
+    from speakerguard_tpu.attacks import PGD
+
+    rng = np.random.default_rng(0)
+    params = random_xv_plda_params(rng)
+    model = XvPlda(params)
+    enroll = jnp.asarray(rng.standard_normal((10, 150)).astype(np.float32))
+    model.set_enrollment([str(i) for i in range(10)], enroll)
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    wav_len = int(os.environ.get("BENCH_WAV_LEN", "48000"))  # 3 s
+    max_iter = int(os.environ.get("BENCH_PGD_ITERS", "100"))
+
+    x = jnp.asarray(
+        (rng.uniform(-0.3, 0.3, (batch, wav_len))).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, batch))
+
+    atk = PGD(model, task="CSI", epsilon=0.002, step_size=0.0004,
+              max_iter=max_iter, loss="Entropy")
+
+    # warmup/compile
+    key = jax.random.PRNGKey(0)
+    adver, _ = atk.attack(x, y, rng=key)
+    jax.block_until_ready(adver)
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        adver, _ = atk.attack(x, y, rng=jax.random.fold_in(key, i))
+        jax.block_until_ready(adver)
+    dt = (time.perf_counter() - t0) / n_rep
+    utts_per_sec = batch / dt
+
+    baseline = None
+    if os.path.exists("bench_baseline.json"):
+        with open("bench_baseline.json") as f:
+            baseline = json.load(f).get("utts_per_sec")
+    if baseline is None:
+        baseline = 0.123  # measured: reference-equivalent torch-CPU PGD-100
+        # xv-PLDA pipeline, per-utterance loops (see bench_reference.py)
+
+    print(json.dumps({
+        "metric": "pgd100_xv_plda_utts_per_sec",
+        "value": round(utts_per_sec, 3),
+        "unit": "utterances/sec",
+        "vs_baseline": round(utts_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Adversarial training CLI (re-design of reference adver_train.py):
+FGSM/PGD generation nested INSIDE the jitted train step against the live
+parameters, `ratio` of each minibatch replaced with adversarial examples."""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from speakerguard_tpu.cli.common import add_defense_args
+from speakerguard_tpu.data.dataset import Spk251_train
+from speakerguard_tpu.models.audionet import init_audionet, \
+    parse_label_encoder
+from speakerguard_tpu.models.training import (
+    make_adver_train_step, make_pgd_for_training, save_checkpoint,
+    load_checkpoint)
+from speakerguard_tpu.parallel.mesh import (
+    make_mesh, sharded_train_step, shard_batch, replicate)
+from speakerguard_tpu.cli.natural_train import validate
+
+
+def parse_args(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser()
+    add_defense_args(parser)
+    parser.add_argument("-label_encoder",
+                        default="./label-encoder-audionet-Spk251_test.txt")
+    parser.add_argument("-aug_eps", type=float, default=0.002)
+    parser.add_argument("-root", default="./data")
+    parser.add_argument("-num_epoches", type=int, default=30)
+    parser.add_argument("-batch_size", type=int, default=128)
+    parser.add_argument("-wav_length", type=int, default=80_000)
+    parser.add_argument("-model_ckpt", type=str, default=None)
+    parser.add_argument("-ori_model_ckpt", type=str, default=None)
+    parser.add_argument("-start_epoch", type=int, default=0)
+    parser.add_argument("-evaluate_per_epoch", type=int, default=1)
+    parser.add_argument("-lr", type=float, default=1e-3)
+    parser.add_argument("-n_devices", type=int, default=1)
+    parser.add_argument("-seed", type=int, default=0)
+    # attacker (reference adver_train.py: FGSM or PGD)
+    parser.add_argument("-attacker", default="PGD",
+                        choices=["FGSM", "PGD"])
+    parser.add_argument("-epsilon", type=float, default=0.002)
+    parser.add_argument("-step_size", type=float, default=0.0004)
+    parser.add_argument("-max_iter", type=int, default=10)
+    parser.add_argument("-ratio", type=float, default=0.5)
+    return parser.parse_args(argv)
+
+
+def main(args):
+    rng = np.random.default_rng(args.seed)
+    spk_ids = parse_label_encoder(args.label_encoder)
+
+    if args.ori_model_ckpt:
+        params, state, opt_state0, _ = load_checkpoint(args.ori_model_ckpt)
+    else:
+        params, state = init_audionet(rng, num_class=len(spk_ids))
+        opt_state0 = None
+    opt = optax.adam(args.lr)
+    opt_state = opt_state0 if opt_state0 is not None else opt.init(params)
+
+    if args.attacker == "FGSM":
+        attack = make_pgd_for_training(epsilon=args.epsilon,
+                                       step_size=args.epsilon, max_iter=1)
+    else:
+        attack = make_pgd_for_training(epsilon=args.epsilon,
+                                       step_size=args.step_size,
+                                       max_iter=args.max_iter)
+    step = make_adver_train_step(opt, attack, ratio=args.ratio,
+                                 aug_eps=args.aug_eps)
+    mesh = None
+    if args.n_devices > 1:
+        mesh = make_mesh(args.n_devices, axes=("data",))
+        step = sharded_train_step(step, mesh)
+        params = replicate(params, mesh)
+        state = replicate(state, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+    train = Spk251_train(spk_ids, args.root, wav_length=args.wav_length,
+                         seed=args.seed)
+    ckpt_base = args.model_ckpt or "./model_file/audionet-adver"
+    key = jax.random.PRNGKey(args.seed)
+    for i_epoch in range(args.num_epoches):
+        accs_adv, accs_nor = [], []
+        for batch_id, (wavs, labels) in enumerate(
+                train.batches(args.batch_size, shuffle=True,
+                              drop_last=args.n_devices > 1)):
+            t0 = time.time()
+            wavs = jnp.asarray(wavs[:, 0, :])
+            if float(jnp.abs(wavs).max()) > 2:
+                wavs = wavs / (2.0 ** 15)
+            labels = jnp.asarray(labels)
+            if mesh is not None:
+                wavs = shard_batch(wavs, mesh)
+                labels = shard_batch(labels, mesh)
+            key, sub = jax.random.split(key)
+            params, state, opt_state, loss, acc_adv, acc_nor = step(
+                params, state, opt_state, wavs, labels, sub)
+            accs_adv.append(float(acc_adv))
+            accs_nor.append(float(acc_nor))
+            print(f"Batch {batch_id}: loss={float(loss):.4f} "
+                  f"acc_adv={float(acc_adv):.4f} "
+                  f"acc_normal={float(acc_nor):.4f} "
+                  f"time={time.time() - t0:.3f}s", end="\r")
+        epoch = i_epoch + args.start_epoch
+        print(f"\nEPOCH {epoch}: Acc adv = {np.mean(accs_adv):.4f} "
+              f"Acc normal = {np.mean(accs_nor):.4f}")
+        save_checkpoint(f"{ckpt_base}_{epoch}", params, state, opt_state,
+                        epoch)
+        if args.evaluate_per_epoch > 0 and \
+                i_epoch % args.evaluate_per_epoch == 0:
+            print("Val Acc: %f" % validate(params, state, spk_ids,
+                                           args.root))
+    save_checkpoint(ckpt_base, params, state, opt_state,
+                    args.num_epoches + args.start_epoch)
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -1,0 +1,93 @@
+"""Shared CLI plumbing: model/defense construction, nested subparsers.
+
+Preserves the reference's positional CLI grammar
+(`<common args> <system_type> <model args> <attack> <attack args>`,
+reference attackMain.py:32-152) over the TPU-native models.
+"""
+
+import argparse
+
+import numpy as np
+
+from speakerguard_tpu.defenses.registry import parser_defense
+from speakerguard_tpu.models.defended import DefendedModel
+
+
+def add_defense_args(parser):
+    parser.add_argument("-defense", nargs="+", default=None)
+    parser.add_argument("-defense_param", nargs="+", default=None)
+    parser.add_argument("-defense_flag", nargs="+", default=None, type=int)
+    parser.add_argument("-defense_order", default="sequential",
+                        choices=["sequential", "average"])
+
+
+def add_system_subparsers(parser, with_model_file=True):
+    sub = parser.add_subparsers(dest="system_type")
+    iv = sub.add_parser("iv_plda")
+    iv.add_argument("-gmm", default="pre-trained-models/iv_plda/final_ubm.txt")
+    iv.add_argument("-extractor",
+                    default="pre-trained-models/iv_plda/final_ie.txt")
+    iv.add_argument("-plda", default="pre-trained-models/iv_plda/plda.txt")
+    iv.add_argument("-mean", default="pre-trained-models/iv_plda/mean.vec")
+    iv.add_argument("-transform",
+                    default="pre-trained-models/iv_plda/transform.txt")
+    if with_model_file:
+        iv.add_argument("-model_file",
+                        default="model_file/iv_plda/speaker_model_iv_plda")
+
+    xv = sub.add_parser("xv_plda")
+    xv.add_argument("-extractor",
+                    default="pre-trained-models/xv_plda/xvecTDNN_origin.ckpt")
+    xv.add_argument("-plda", default="pre-trained-models/xv_plda/plda.txt")
+    xv.add_argument("-mean", default="pre-trained-models/xv_plda/mean.vec")
+    xv.add_argument("-transform",
+                    default="pre-trained-models/xv_plda/transform.txt")
+    if with_model_file:
+        xv.add_argument("-model_file",
+                        default="model_file/xv_plda/speaker_model_xv_plda")
+
+    an = sub.add_parser("audionet_csine")
+    an.add_argument("-extractor", default=None)
+    an.add_argument("-label_encoder",
+                    default="./label-encoder-audionet-Spk251_test.txt")
+    return iv, xv, an
+
+
+def build_model(args, need_enroll=True):
+    """Construct the (defended) model from parsed CLI args."""
+    threshold = getattr(args, "threshold", None)
+    if args.system_type == "iv_plda":
+        from speakerguard_tpu.models.iv_plda import (
+            IvPlda, load_iv_plda_params)
+        params = load_iv_plda_params(args.gmm, args.extractor, args.plda,
+                                     args.mean, args.transform)
+        base = IvPlda(params,
+                      model_file=getattr(args, "model_file", None)
+                      if need_enroll else None,
+                      threshold=threshold)
+    elif args.system_type == "xv_plda":
+        from speakerguard_tpu.models.xv_plda import (
+            XvPlda, load_xv_plda_params)
+        params = load_xv_plda_params(args.extractor, args.plda, args.mean,
+                                     args.transform)
+        base = XvPlda(params,
+                      model_file=getattr(args, "model_file", None)
+                      if need_enroll else None,
+                      threshold=threshold)
+    elif args.system_type == "audionet_csine":
+        from speakerguard_tpu.models.audionet import (
+            AudioNet, parse_label_encoder)
+        from speakerguard_tpu.models.training import load_checkpoint
+        spk_ids = (parse_label_encoder(args.label_encoder)
+                   if args.label_encoder else None)
+        assert args.extractor is not None, "audionet needs a checkpoint"
+        params, state, _, _ = load_checkpoint(args.extractor)
+        base = AudioNet(params, state, spk_ids=spk_ids)
+    else:
+        raise NotImplementedError("Unsupported system type")
+
+    defense, defense_name = parser_defense(
+        args.defense, args.defense_param, args.defense_flag,
+        args.defense_order)
+    model = DefendedModel(base, defense=defense, order=args.defense_order)
+    return base, model, defense_name

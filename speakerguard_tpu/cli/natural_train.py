@@ -1,0 +1,115 @@
+"""Natural training CLI for AudioNet CSI-NE (re-design of reference
+natural_train.py): Adam + CE + uniform-noise augmentation, per-epoch
+checkpointing, per-epoch validation.  The whole train step is one jitted
+function; pass -n_devices > 1 to shard the batch over a device mesh."""
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from speakerguard_tpu.cli.common import add_defense_args
+from speakerguard_tpu.data.dataset import Spk251_train, Spk251_test
+from speakerguard_tpu.models.audionet import (
+    init_audionet, parse_label_encoder, AudioNet)
+from speakerguard_tpu.models.training import (
+    make_natural_train_step, save_checkpoint, load_checkpoint)
+from speakerguard_tpu.parallel.mesh import (
+    make_mesh, sharded_train_step, shard_batch, replicate)
+
+
+def parse_args(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser()
+    add_defense_args(parser)
+    parser.add_argument("-label_encoder",
+                        default="./label-encoder-audionet-Spk251_test.txt")
+    parser.add_argument("-aug_eps", type=float, default=0.002)
+    parser.add_argument("-root", default="./data")
+    parser.add_argument("-num_epoches", type=int, default=30)
+    parser.add_argument("-batch_size", type=int, default=128)
+    parser.add_argument("-wav_length", type=int, default=80_000)
+    parser.add_argument("-model_ckpt", type=str, default=None)
+    parser.add_argument("-log", type=str, default=None)
+    parser.add_argument("-ori_model_ckpt", type=str, default=None)
+    parser.add_argument("-start_epoch", type=int, default=0)
+    parser.add_argument("-evaluate_per_epoch", type=int, default=1)
+    parser.add_argument("-lr", type=float, default=1e-3)
+    parser.add_argument("-n_devices", type=int, default=1)
+    parser.add_argument("-seed", type=int, default=0)
+    return parser.parse_args(argv)
+
+
+def validate(params, state, spk_ids, root):
+    model = AudioNet(params, state, spk_ids=spk_ids)
+    val = Spk251_test(spk_ids, root, return_file_name=True)
+    right = 0
+    for wavs, labels, _ in val.batches(1):
+        d, _ = model.make_decision(jnp.asarray(wavs[:, 0, :]))
+        right += int(np.asarray(d)[0] == labels[0])
+    return right / len(val)
+
+
+def main(args):
+    rng = np.random.default_rng(args.seed)
+    spk_ids = parse_label_encoder(args.label_encoder)
+
+    if args.ori_model_ckpt:
+        params, state, opt_state0, _ = load_checkpoint(args.ori_model_ckpt)
+    else:
+        params, state = init_audionet(rng, num_class=len(spk_ids))
+        opt_state0 = None
+    opt = optax.adam(args.lr)
+    opt_state = opt_state0 if opt_state0 is not None else opt.init(params)
+
+    step = make_natural_train_step(opt, aug_eps=args.aug_eps)
+    mesh = None
+    if args.n_devices > 1:
+        mesh = make_mesh(args.n_devices, axes=("data",))
+        step = sharded_train_step(step, mesh)
+        params = replicate(params, mesh)
+        state = replicate(state, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+    train = Spk251_train(spk_ids, args.root, wav_length=args.wav_length,
+                         seed=args.seed)
+    print("load train data done", len(train))
+
+    ckpt_base = args.model_ckpt or "./model_file/audionet-natural"
+    key = jax.random.PRNGKey(args.seed)
+    for i_epoch in range(args.num_epoches):
+        accs = []
+        for batch_id, (wavs, labels) in enumerate(
+                train.batches(args.batch_size, shuffle=True,
+                              drop_last=args.n_devices > 1)):
+            t0 = time.time()
+            wavs = jnp.asarray(wavs[:, 0, :]) / (2.0 ** 15) \
+                if np.abs(wavs).max() > 2 else jnp.asarray(wavs[:, 0, :])
+            labels = jnp.asarray(labels)
+            if mesh is not None:
+                wavs = shard_batch(wavs, mesh)
+                labels = shard_batch(labels, mesh)
+            key, sub = jax.random.split(key)
+            params, state, opt_state, loss, acc = step(
+                params, state, opt_state, wavs, labels, sub)
+            accs.append(float(acc))
+            print(f"Batch {batch_id}: loss={float(loss):.4f} "
+                  f"acc={float(acc):.4f} time={time.time() - t0:.3f}s",
+                  end="\r")
+        epoch = i_epoch + args.start_epoch
+        print(f"\nEPOCH {epoch}: Acc = {np.mean(accs):.4f}")
+        save_checkpoint(f"{ckpt_base}_{epoch}", params, state, opt_state,
+                        epoch)
+        if args.evaluate_per_epoch > 0 and \
+                i_epoch % args.evaluate_per_epoch == 0:
+            print("Val Acc: %f" % validate(params, state, spk_ids,
+                                           args.root))
+    save_checkpoint(ckpt_base, params, state, opt_state,
+                    args.num_epoches + args.start_epoch)
+
+
+if __name__ == "__main__":
+    main(parse_args())

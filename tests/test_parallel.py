@@ -1,0 +1,136 @@
+"""Multi-chip sharding paths on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from speakerguard_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate, sharded_train_step,
+    sharded_attack_grad)
+from speakerguard_tpu.models.audionet import init_audionet
+from speakerguard_tpu.models.training import (
+    make_natural_train_step, make_adver_train_step, make_pgd_for_training)
+from speakerguard_tpu.attacks.losses import resolve_loss
+
+
+def test_dp_train_step_matches_single_device(rng):
+    params, state = init_audionet(rng, num_class=4)
+    # SGD: updates linear in grads, so single-vs-multi-device parity is
+    # well-conditioned (Adam's g/sqrt(v) amplifies reduction-order roundoff)
+    opt = optax.sgd(0.1)
+    opt_state = opt.init(params)
+    step = make_natural_train_step(opt, aug_eps=0.0)
+
+    wavs = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 4000)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, 8))
+    key = jax.random.PRNGKey(0)
+
+    # single device
+    p1, s1, o1, loss1, acc1 = step(params, state, opt_state, wavs, labels,
+                                   key)
+
+    # 8-device DP
+    mesh = make_mesh(8, axes=("data",))
+    sharded = sharded_train_step(step, mesh)
+    p2, s2, o2, loss2, acc2 = sharded(
+        replicate(params, mesh), replicate(state, mesh),
+        replicate(opt_state, mesh), shard_batch(wavs, mesh),
+        shard_batch(labels, mesh), key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(float(acc1), float(acc2))
+    # NOTE: exact parameter parity after a train step is NOT a stable
+    # property of this architecture: max-over-time pooling routes gradients
+    # through argmax positions, and 1e-6 primal noise from sharded BN
+    # reductions can flip near-ties.  Forward outputs + loss are the
+    # contract; eval-mode grads are exactly equal (next test).
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        assert np.isfinite(np.asarray(b)).all()
+
+
+def test_dp_eval_grads_match_exactly(rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from speakerguard_tpu.ops.logmel import audionet_logmel
+    from speakerguard_tpu.models.audionet import audionet_logits
+    from speakerguard_tpu.models.training import cross_entropy
+
+    params, state = init_audionet(rng, num_class=4)
+    wavs = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 4000)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, 8))
+
+    def loss_fn(p, st, w, l):
+        feats = audionet_logmel(w)
+        logits, _, _ = audionet_logits(p, st, feats, train=False)
+        return jnp.mean(cross_entropy(logits, l))
+
+    g1 = jax.jit(jax.grad(loss_fn))(params, state, wavs, labels)
+    mesh = make_mesh(8, axes=("data",))
+    repl = NamedSharding(mesh, P())
+    gfn = jax.jit(jax.grad(loss_fn),
+                  in_shardings=(repl, repl,
+                                NamedSharding(mesh, P("data", None)),
+                                NamedSharding(mesh, P("data"))))
+    g2 = gfn(replicate(params, mesh), replicate(state, mesh),
+             shard_batch(wavs, mesh), shard_batch(labels, mesh))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_adver_train_step_runs_sharded(rng):
+    params, state = init_audionet(rng, num_class=4)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    attack = make_pgd_for_training(epsilon=0.01, step_size=0.004, max_iter=2)
+    step = make_adver_train_step(opt, attack, ratio=0.5, aug_eps=0.002)
+    mesh = make_mesh(8, axes=("data",))
+    sharded = sharded_train_step(step, mesh)
+    wavs = shard_batch(jnp.asarray(
+        rng.uniform(-0.3, 0.3, (16, 4000)).astype(np.float32)), mesh)
+    labels = shard_batch(jnp.asarray(rng.integers(0, 4, 16)), mesh)
+    out = sharded(replicate(params, mesh), replicate(state, mesh),
+                  replicate(opt_state, mesh), wavs, labels,
+                  jax.random.PRNGKey(0))
+    assert np.isfinite(float(out[3]))
+
+
+def test_eot_sharded_attack_grad(rng):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from test_attacks import ToyModel
+    m = ToyModel()
+    loss_fn, _ = resolve_loss("Margin", task="CSI")
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "eot"))
+    grad_fn = sharded_attack_grad(lambda x, k: m.score(x), loss_fn, mesh)
+    x = jax.device_put(
+        jnp.asarray(rng.uniform(-0.3, 0.3, (8, 4000)).astype(np.float32)),
+        NamedSharding(mesh, P("data", None)))
+    y = jax.device_put(jnp.asarray(rng.integers(0, 4, 8)),
+                       NamedSharding(mesh, P("data")))
+    keys = jax.device_put(jax.random.split(jax.random.PRNGKey(0), 4),
+                          NamedSharding(mesh, P("eot", None)))
+    loss, grad = grad_fn(x, y, keys)
+    assert np.isfinite(np.asarray(loss)).all()
+    # deterministic model: EOT mean over identical repeats == single grad
+    def direct(xx):
+        return jnp.sum(loss_fn(m.score(xx), y))
+    want = jax.grad(direct)(x)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(want),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_graft_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[0].shape[0]
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
