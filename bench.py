@@ -62,8 +62,8 @@ def main():
         with open("bench_baseline.json") as f:
             baseline = json.load(f).get("utts_per_sec")
     if baseline is None:
-        baseline = 0.123  # measured: reference-equivalent torch-CPU PGD-100
-        # xv-PLDA pipeline, per-utterance loops (see bench_reference.py)
+        baseline = 0.0562  # measured: reference-equivalent torch-CPU
+        # PGD-100 xv-PLDA pipeline, per-utterance loops (bench_reference.py)
 
     print(json.dumps({
         "metric": "pgd100_xv_plda_utts_per_sec",

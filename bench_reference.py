@@ -1,0 +1,193 @@
+"""Reference-equivalent CPU baseline for bench.py.
+
+The reference repo cannot run unmodified here (torchaudio is not installed),
+so this harness reproduces its computational structure for the PGD /
+xv-PLDA benchmark config in torch on CPU, preserving the properties that
+determine its speed:
+
+  * per-utterance Python loop over the batch at every feature stage
+    (reference iv_plda.py:201, xv_plda.py:111, extract_emb per utt)
+  * per-frame Python loop for sliding CMVN (reference iv_plda.py:319-369)
+  * MFCC via framing + FFT + mel matmul + DCT in torch (same ops/FLOPs as
+    torchaudio.compliance.kaldi.mfcc)
+  * full TDNN + PLDA forward and input-gradient backward per PGD iteration
+  * per-iteration `.cpu().numpy()` host syncs (reference FGSM.py:55-56)
+
+Writes bench_baseline.json with the measured utterances/sec.
+"""
+
+import json
+import math
+import time
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+torch.manual_seed(0)
+
+SR = 16000
+NUM_CEPS = 30
+NUM_MEL = 30
+
+
+def mfcc_torch(wav):  # wav: (L,) tensor, origin domain
+    shift, win, nfft = 160, 400, 512
+    n = wav.shape[0]
+    t = (n + shift // 2) // shift
+    pad = win // 2 - shift // 2
+    idx = torch.arange(t)[:, None] * shift - pad + torch.arange(win)[None, :]
+    idx = torch.where(idx < 0, -idx - 1, idx)
+    idx = torch.where(idx >= n, 2 * n - 1 - idx, idx)
+    frames = wav[idx]
+    frames = frames - frames.mean(dim=1, keepdim=True)
+    energy = torch.log(torch.clamp((frames ** 2).sum(1), min=1e-10))
+    first = frames[:, :1]
+    frames = frames - 0.97 * torch.cat([first, frames[:, :-1]], dim=1)
+    i = torch.arange(win, dtype=torch.float64)
+    povey = (0.5 - 0.5 * torch.cos(2 * math.pi * i / (win - 1))) ** 0.85
+    frames = frames * povey.float()
+    spec = torch.fft.rfft(frames, n=nfft)
+    power = spec.real ** 2 + spec.imag ** 2
+    global _MELW, _DCT, _LIFT
+    mel = torch.log(torch.clamp(power @ _MELW.T, min=1e-7))
+    feat = mel @ _DCT.T * _LIFT
+    feat[:, 0] = energy
+    return feat
+
+
+def build_consts():
+    global _MELW, _DCT, _LIFT
+    # mel filterbank (Kaldi-style), 30 bins, 20..7600 Hz
+    def melscale(f):
+        return 1127.0 * np.log(1.0 + f / 700.0)
+    nfft = 512
+    lo, hi = melscale(20.0), melscale(7600.0)
+    delta = (hi - lo) / (NUM_MEL + 1)
+    banks = np.zeros((NUM_MEL, nfft // 2 + 1))
+    freqs = np.arange(nfft // 2) * SR / nfft
+    mels = melscale(freqs)
+    for b in range(NUM_MEL):
+        l, c, r = lo + b * delta, lo + (b + 1) * delta, lo + (b + 2) * delta
+        up = (mels - l) / (c - l)
+        down = (r - mels) / (r - c)
+        banks[b, :nfft // 2] = np.maximum(0, np.minimum(up, down))
+    _MELW = torch.tensor(banks, dtype=torch.float32)
+    k = np.arange(NUM_CEPS)[:, None]
+    j = np.arange(NUM_MEL)[None, :]
+    dct = np.sqrt(2.0 / NUM_MEL) * np.cos(np.pi / NUM_MEL * (j + 0.5) * k)
+    dct[0, :] = np.sqrt(1.0 / NUM_MEL)
+    _DCT = torch.tensor(dct, dtype=torch.float32)
+    q = 22.0
+    _LIFT = torch.tensor(1.0 + 0.5 * q * np.sin(np.pi * np.arange(NUM_CEPS)
+                                                / q), dtype=torch.float32)
+
+
+def cmvn_loop(feat):  # (T, F): the reference's per-frame python loop
+    t, f = feat.shape
+    out = feat.clone()
+    cur_sum = torch.zeros(f)
+    last_ws = last_we = -1
+    for i in range(t):
+        ws = i - 150
+        we = ws + 300
+        if ws < 0:
+            we -= ws
+            ws = 0
+        if we > t:
+            ws -= we - t
+            we = t
+            ws = max(ws, 0)
+        if last_ws == -1:
+            cur_sum = feat[ws:we].sum(0)
+        else:
+            if ws > last_ws:
+                cur_sum = cur_sum - feat[last_ws]
+            if we > last_we:
+                cur_sum = cur_sum + feat[last_we]
+        last_ws, last_we = ws, we
+        out[i] = out[i] - cur_sum / (we - ws)
+    return out
+
+
+class TDNN(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        spec = [(30, 512, 5, 1), (512, 512, 5, 2), (512, 512, 7, 3),
+                (512, 512, 1, 1), (512, 1500, 1, 1)]
+        self.convs = torch.nn.ModuleList(
+            [torch.nn.Conv1d(i, o, k, dilation=d) for i, o, k, d in spec])
+        self.bns = torch.nn.ModuleList(
+            [torch.nn.BatchNorm1d(o, affine=False) for _, o, _, _ in spec])
+        self.fc1 = torch.nn.Linear(3000, 512)
+
+    def forward(self, x):  # (1, 30, T)
+        for c, b in zip(self.convs, self.bns):
+            x = b(F.relu(c(x)))
+        stats = torch.cat([x.mean(2), x.std(2)], dim=1)
+        return self.fc1(stats)
+
+
+def main():
+    build_consts()
+    tdnn = TDNN().eval()
+    lda = torch.randn(150, 513) * 0.05
+    plda_psi = torch.rand(150) + 0.5
+    plda_tr = torch.linalg.qr(torch.randn(150, 150))[0]
+    plda_mean = torch.randn(150) * 0.1
+    enroll = torch.randn(10, 150)
+
+    def score_one(wav):  # wav: (L,) requires_grad, origin domain
+        feat = mfcc_torch(wav)
+        feat = cmvn_loop(feat)
+        emb = tdnn(feat.T.unsqueeze(0))[0]
+        x = lda[:, :-1] @ emb + lda[:, -1]
+        x = x * (math.sqrt(150) / x.norm())
+        x = plda_tr @ (x - plda_mean)
+        x = x * torch.sqrt(150 / ((1.0 / (plda_psi + 1.0)) @ (x ** 2)))
+        mean = plda_psi / (plda_psi + 1.0) * enroll
+        var = 1.0 + plda_psi / (plda_psi + 1.0)
+        ll_g = -0.5 * (torch.log(var).sum() + math.log(2 * math.pi) * 150
+                       + (((x - mean) ** 2) / var).sum(1))
+        var0 = plda_psi + 1.0
+        ll_w = -0.5 * (torch.log(var0).sum() + math.log(2 * math.pi) * 150
+                       + ((x ** 2) / var0).sum())
+        return ll_g - ll_w
+
+    batch = 4          # keep wall time sane; throughput is per-utterance
+    wav_len = 48000
+    iters = int(__import__("os").environ.get("REF_PGD_ITERS", "100"))
+    wavs = (torch.rand(batch, wav_len) - 0.5) * 0.6
+    labels = torch.randint(0, 10, (batch,))
+
+    t0 = time.perf_counter()
+    eps, step = 0.002, 0.0004
+    x = wavs.clone()
+    lower, upper = wavs - eps, wavs + eps
+    for it in range(iters):
+        grads = []
+        losses = []
+        # the reference loops utterances in python at every stage
+        for b in range(batch):
+            xb = (x[b] * 32768.0).detach().requires_grad_()
+            scores = score_one(xb)
+            loss = F.cross_entropy(scores[None], labels[b:b + 1])
+            loss.backward()
+            grads.append(xb.grad.clone())
+            losses.append(loss.detach().cpu().numpy())  # per-iter host sync
+        g = torch.stack(grads)
+        x = torch.clamp(x + step * torch.sign(g), min=lower, max=upper)
+    dt = time.perf_counter() - t0
+    # scale measured time to the benchmark's 100 iterations
+    full_dt = dt * (100.0 / iters)
+    utts_per_sec = batch / full_dt
+    out = {"utts_per_sec": round(utts_per_sec, 4),
+           "batch": batch, "wav_len": wav_len,
+           "measured_iters": iters, "host": "cpu"}
+    with open("bench_baseline.json", "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
