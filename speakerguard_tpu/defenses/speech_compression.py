@@ -106,21 +106,25 @@ def _compression_host(new: np.ndarray, name: str, param, fs: int,
 
 
 def _make_codec(name: str, args3, start_hint):
-    def non_diff(audio, param, fs=16000, n_jobs=10):
-        shape = audio.shape
-        x = audio.reshape(shape[0], -1) if audio.ndim == 3 else (
-            audio[None, :] if audio.ndim == 1 else audio)
-        fn = lambda arr: _compression_host(  # noqa: E731
-            arr, name, [args3[0], str(param), args3[1]], fs, start_hint,
-            n_jobs)
-        y = jax.pure_callback(fn, jax.ShapeDtypeStruct(x.shape, jnp.float32),
-                              x, vmap_method="sequential")
-        return y.reshape(shape)
+    import functools
 
-    ste = bpda(non_diff)
+    @functools.lru_cache(maxsize=None)
+    def ste_for(param, fs, n_jobs):
+        def non_diff(audio):
+            shape = audio.shape
+            x = audio.reshape(shape[0], -1) if audio.ndim == 3 else (
+                audio[None, :] if audio.ndim == 1 else audio)
+            fn = lambda arr: _compression_host(  # noqa: E731
+                arr, name, [args3[0], str(param), args3[1]], fs, start_hint,
+                n_jobs)
+            y = jax.pure_callback(fn,
+                                  jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                                  x, vmap_method="sequential")
+            return y.reshape(shape)
+        return bpda(non_diff)
 
     def codec(audio, param, fs=16000, rng=None, n_jobs=10):
-        return ste(audio, param, fs, n_jobs)
+        return ste_for(param, fs, n_jobs)(audio)
 
     return codec
 

@@ -40,11 +40,17 @@ def QT_Non_Diff(audio, param: int = 128, bits: int = 16):
     return restore(out)
 
 
-_qt_ste = bpda(lambda x, param, bits: QT_Non_Diff(x, param, bits))
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _qt_ste(param: int, bits: int):
+    # close over the static params: custom_vjp operands must be arrays
+    return bpda(lambda x: QT_Non_Diff(x, param, bits))
 
 
 def QT(audio, param: int = 128, bits: int = 16, rng=None):
-    return _qt_ste(audio, param, bits)
+    return _qt_ste(int(param), int(bits))(audio)
 
 
 def BDR(audio, param: int = 8, bits: int = 16, rng=None):

@@ -60,10 +60,12 @@ def parse_fgmm_file(path: str) -> dict:
                         line = f.readline()
                     out["means_invcovars"] = np.stack(rows)
                 elif "<INV_COVARS>" in line:
+                    # reading pattern mirrors reference gmm.py:66-76: per
+                    # component, d triangular rows then a separator line
                     c, d = out["means_invcovars"].shape
                     inv = np.zeros((c, d, d))
-                    line = f.readline()
                     for i in range(c):
+                        line = f.readline()
                         for j in range(d):
                             vals = _floats(line.split(" ")[:-1])
                             inv[i, j, :j + 1] = vals[:j + 1]

@@ -1,0 +1,109 @@
+"""CLI integration smoke tests on synthetic artifacts + wav data:
+enroll -> set_threshold -> specify_target_label -> attack_main ->
+test_attack, end to end on the small iv_plda system."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from fixtures import make_small_iv_artifacts, make_wav_dataset
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    """Synthetic iv_plda artifacts + Spk10-style datasets + enrollment."""
+    rng = np.random.default_rng(9)
+    tmpdir = str(tmp_path_factory.mktemp("world"))
+    paths, _ = make_small_iv_artifacts(tmpdir, rng)
+    data_root = os.path.join(tmpdir, "data")
+    os.makedirs(data_root)
+    for name, spks, upp in [("Spk10_enroll", 3, 2), ("Spk10_test", 3, 2),
+                            ("Spk10_imposter", 2, 1)]:
+        make_wav_dataset(data_root, rng, name=name, n_spks=spks,
+                         utts_per_spk=upp, length=8000)
+    # imposter dir uses different speakers
+    import shutil
+    imp = os.path.join(data_root, "Spk10_imposter")
+    for i, d in enumerate(sorted(os.listdir(imp))):
+        shutil.move(os.path.join(imp, d), os.path.join(imp, f"imp{i}"))
+    return tmpdir, paths, data_root
+
+
+def _iv_args(paths, extra):
+    return extra + ["iv_plda", "-gmm", paths["gmm"], "-extractor",
+                    paths["extractor"], "-plda", paths["plda"], "-mean",
+                    paths["mean"], "-transform", paths["transform"]]
+
+
+@pytest.fixture(scope="module")
+def small_mfcc(monkeypatch_module=None):
+    """Patch the default iv mfcc config to 8 ceps (gmm dim 24)."""
+    from speakerguard_tpu.ops.kaldi_mfcc import MfccConfig
+    import speakerguard_tpu.models.iv_plda as ivm
+    old = ivm.IV_PLDA_MFCC
+    small = MfccConfig(num_ceps=8)
+    ivm.IV_PLDA_MFCC = small
+    orig_init = ivm.IvPlda.__init__
+
+    def patched(self, params, model_file=None, threshold=None,
+                mfcc_config=None):
+        orig_init(self, params, model_file=model_file, threshold=threshold,
+                  mfcc_config=small)
+    ivm.IvPlda.__init__ = patched
+    yield
+    ivm.IV_PLDA_MFCC = old
+    ivm.IvPlda.__init__ = orig_init
+
+
+def test_enroll_then_threshold_then_attack(world, small_mfcc, capsys):
+    tmpdir, paths, data_root = world
+    model_dir = os.path.join(tmpdir, "model_file")
+
+    from speakerguard_tpu.cli import enroll
+    args = enroll.parse_args(_iv_args(paths, ["-model_dir", model_dir,
+                                              "-root", data_root]))
+    enroll.main(args)
+    model_file = os.path.join(model_dir, "iv_plda",
+                              "speaker_model_iv_plda")
+    assert os.path.exists(model_file)
+
+    from speakerguard_tpu.cli import set_threshold
+    args = set_threshold.parse_args(_iv_args(paths, ["-root", data_root]))
+    args.model_file = model_file
+    set_threshold.main(args)
+    out = capsys.readouterr().out
+    assert "SV" in out and "OSI" in out and "CSI ACC" in out
+
+    from speakerguard_tpu.cli import specify_target_label
+    save_path = os.path.join(tmpdir, "targets.pkl")
+    args = specify_target_label.parse_args(_iv_args(
+        paths, ["-root", data_root, "-name", "Spk10_test", "-save_path",
+                save_path]))
+    args.model_file = model_file
+    specify_target_label.main(args)
+    assert os.path.exists(save_path)
+
+    from speakerguard_tpu.cli import attack_main
+    adver_dir = os.path.join(tmpdir, "adver")
+    args = attack_main.parse_args(_iv_args(
+        paths, ["-root", data_root, "-name", "Spk10_test", "-des",
+                adver_dir, "-batch_size", "2", "-wav_length", "8000"])
+        + ["PGD", "-max_iter", "2", "-epsilon", "0.01", "-step_size",
+           "0.005"])
+    args.model_file = model_file
+    attack_main.main(args)
+    wavs = [f for _, _, fs in os.walk(adver_dir) for f in fs
+            if f.endswith(".wav")]
+    assert len(wavs) == 6
+
+    from speakerguard_tpu.cli import test_attack
+    args = test_attack.parse_args(_iv_args(
+        paths, ["-root", os.path.dirname(adver_dir), "-name",
+                os.path.basename(adver_dir), "-root_ori", data_root,
+                "-name_ori", "Spk10_test"]))
+    args.model_file = model_file
+    test_attack.main(args)
+    out = capsys.readouterr().out
+    assert "Acc:" in out and "Untargeted Attack Success Rate:" in out

@@ -1,0 +1,102 @@
+"""Dataset loader + metrics tests on synthetic wav data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_wav_dataset
+from speakerguard_tpu.data.dataset import Dataset
+from speakerguard_tpu.metrics import metric as M
+from speakerguard_tpu.utils.audio_io import read_wav, write_wav
+
+
+@pytest.fixture(scope="module")
+def wav_root(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    tmpdir = str(tmp_path_factory.mktemp("wavs"))
+    return make_wav_dataset(tmpdir, rng, n_spks=3, utts_per_spk=2,
+                            length=8000)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    wav = (rng.standard_normal(1000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, wav)
+    back = read_wav(p)
+    np.testing.assert_allclose(back, wav, atol=1.0 / 32768)
+
+
+def test_dataset_labels_and_shapes(wav_root):
+    root, name, spk_ids = wav_root
+    ds = Dataset(spk_ids, root, name, normalize=False, wav_length=4000)
+    assert len(ds) == 6
+    wav, label = ds[0]
+    assert wav.shape == (1, 4000)
+    assert np.abs(wav).max() > 2  # origin domain (int16 scale)
+    # imposter labeling
+    ds2 = Dataset(["spk1"], root, name)
+    labels = {ds2[i][1] for i in range(len(ds2))}
+    assert labels == {0, -1}
+
+
+def test_dataset_batches(wav_root):
+    root, name, spk_ids = wav_root
+    ds = Dataset(spk_ids, root, name, wav_length=4000,
+                 return_file_name=True)
+    batches = list(ds.batches(4))
+    assert batches[0][0].shape == (4, 1, 4000)
+    assert len(batches[0][2]) == 4
+    total = sum(b[0].shape[0] for b in batches)
+    assert total == 6
+
+
+def test_dataset_pad_short(wav_root):
+    root, name, spk_ids = wav_root
+    ds = Dataset(spk_ids, root, name, wav_length=10000)
+    wav, _ = ds[0]
+    assert wav.shape == (1, 10000)
+    assert np.all(wav[0, 8000:] == 0)
+
+
+def test_lp_metrics(rng):
+    b = rng.standard_normal(8000).astype(np.float32) * 0.1
+    a = b.copy()
+    a[:100] += 0.01
+    assert M.L0(b, a) == 100
+    np.testing.assert_allclose(M.L1(b, a), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(M.Linf(b, a), 0.01, rtol=1e-4)
+    np.testing.assert_allclose(M.L2(b, a), 0.1, rtol=1e-4)
+    assert M.SNR(b, b) == np.inf
+
+
+def test_snr(rng):
+    b = rng.standard_normal(8000).astype(np.float32) * 0.1
+    noise = rng.standard_normal(8000).astype(np.float32) * 0.01
+    snr = M.SNR(b, b + noise)
+    want = 10 * np.log10((b ** 2).sum() / (noise ** 2).sum())
+    np.testing.assert_allclose(snr, want, rtol=1e-5)
+
+
+def test_stoi_properties(rng):
+    t = np.arange(32000) / 16000
+    # speech-like: sum of modulated tones (STOI needs non-silent frames)
+    x = (np.sin(2 * np.pi * 220 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+         + 0.3 * np.sin(2 * np.pi * 800 * t)).astype(np.float32) * 0.3
+    same = M.STOI(x, x)
+    assert same > 0.99
+    noisy = x + rng.standard_normal(len(x)).astype(np.float32) * 0.3
+    lower = M.STOI(x, noisy)
+    assert lower < same
+    worse = x + rng.standard_normal(len(x)).astype(np.float32) * 1.0
+    assert M.STOI(x, worse) < lower
+
+
+def test_get_all_metric(rng):
+    b = rng.standard_normal(32000).astype(np.float32) * 0.1
+    a = b + rng.standard_normal(32000).astype(np.float32) * 0.001
+    out = M.get_all_metric(b, a)
+    assert len(out) == 7
+    l2, l0, l1, linf, snr, pesq, stoi = out
+    assert l0 > 0 and snr > 20
+    assert pesq is None or pesq > 0  # gated without the pesq package
