@@ -79,7 +79,30 @@ class Dataset:
             return audio, label, os.path.splitext(audio_name)[0]
         return audio, label
 
-    def batches(self, batch_size, shuffle=False, drop_last=False):
+    def _native_batch(self, idxs):
+        """Fast path: the C++ threaded WAV decoder (native/wavloader.cpp);
+        returns (B, 1, L) or None to fall back."""
+        from speakerguard_tpu.utils import native
+        if native.get_lib() is None or not self.wav_length:
+            return None
+        paths, starts = [], []
+        for i in idxs:
+            spk_id, audio_name = self.audio_paths[i]
+            path = os.path.join(self.root, spk_id, audio_name)
+            n = native.wav_num_samples(path)
+            if n is None:
+                return None
+            start = (self._rng.integers(0, n - self.wav_length + 1)
+                     if n > self.wav_length else 0)
+            paths.append(path)
+            starts.append(start)
+        scale = 1.0 if self.normalize else float(2 ** (self.bits - 1))
+        out = native.load_wav_batch(paths, self.wav_length, starts,
+                                    scale=scale)
+        return None if out is None else out[:, None, :]
+
+    def batches(self, batch_size, shuffle=False, drop_last=False,
+                use_native=True):
         """Yield (wavs (B, 1, L), labels (B,)[, names]) numpy batches.
         Requires wav_length (static shapes) when batch_size > 1."""
         order = np.arange(len(self))
@@ -89,11 +112,18 @@ class Dataset:
             idxs = order[s:s + batch_size]
             if drop_last and len(idxs) < batch_size:
                 break
-            items = [self[i] for i in idxs]
-            wavs = np.stack([it[0] for it in items]).astype(np.float32)
-            labels = np.array([it[1] for it in items], np.int64)
+            wavs = self._native_batch(idxs) if use_native else None
+            if wavs is None:
+                items = [self[i] for i in idxs]
+                wavs = np.stack([it[0] for it in items]).astype(np.float32)
+            labels = np.array(
+                [self.spk_ids.index(self.audio_paths[i][0])
+                 if self.audio_paths[i][0] in self.spk_ids else -1
+                 for i in idxs], np.int64)
             if self.return_file_name:
-                yield wavs, labels, [it[2] for it in items]
+                names = [os.path.splitext(self.audio_paths[i][1])[0]
+                         for i in idxs]
+                yield wavs, labels, names
             else:
                 yield wavs, labels
 

@@ -1,0 +1,65 @@
+"""Native C++ WAV loader vs scipy path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_wav_dataset
+from speakerguard_tpu.utils import native
+from speakerguard_tpu.utils.audio_io import read_wav, write_wav
+from speakerguard_tpu.data.dataset import Dataset
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_num_samples(tmp_path, lib, rng):
+    wav = (rng.standard_normal(1234) * 0.1).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, wav)
+    assert native.wav_num_samples(p) == 1234
+
+
+def test_load_batch_matches_scipy(tmp_path, lib, rng):
+    paths = []
+    for i in range(4):
+        wav = (rng.standard_normal(2000) * 0.2).astype(np.float32)
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, wav)
+        paths.append(p)
+    out = native.load_wav_batch(paths, 1500, [100] * 4, scale=1.0)
+    assert out is not None and out.shape == (4, 1500)
+    for i, p in enumerate(paths):
+        want = read_wav(p)[100:1600]
+        np.testing.assert_allclose(out[i], want, atol=1e-6)
+
+
+def test_load_batch_pads(tmp_path, lib, rng):
+    wav = (rng.standard_normal(500) * 0.2).astype(np.float32)
+    p = str(tmp_path / "s.wav")
+    write_wav(p, wav)
+    out = native.load_wav_batch([p], 800, [0], scale=1.0)
+    assert out.shape == (1, 800)
+    assert np.all(out[0, 500:] == 0)
+    np.testing.assert_allclose(out[0, :500], read_wav(p), atol=1e-6)
+
+
+def test_dataset_native_path_matches(tmp_path, lib):
+    rng = np.random.default_rng(3)
+    root, name, spk_ids = make_wav_dataset(str(tmp_path), rng, n_spks=2,
+                                           utts_per_spk=2, length=3000)
+    ds_native = Dataset(spk_ids, root, name, wav_length=2000, seed=7)
+    ds_scipy = Dataset(spk_ids, root, name, wav_length=2000, seed=7)
+    b1 = list(ds_native.batches(4, use_native=True))
+    b2 = list(ds_scipy.batches(4, use_native=False))
+    assert b1[0][0].shape == b2[0][0].shape == (4, 1, 2000)
+    np.testing.assert_array_equal(b1[0][1], b2[0][1])
+    # same scale domain (origin)
+    assert np.abs(b1[0][0]).max() > 2
+    assert np.abs(b2[0][0]).max() > 2
