@@ -33,7 +33,7 @@ def main():
     enroll = jnp.asarray(rng.standard_normal((10, 150)).astype(np.float32))
     model.set_enrollment([str(i) for i in range(10)], enroll)
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     wav_len = int(os.environ.get("BENCH_WAV_LEN", "48000"))  # 3 s
     max_iter = int(os.environ.get("BENCH_PGD_ITERS", "100"))
 
