@@ -32,15 +32,21 @@ class ToyModel(SRSModel):
         self.frame = frame
         self.spk_ids = [str(i) for i in range(num_class)]
 
+    def _scores_from_emb(self, emb, enroll_embs=None):
+        # emb: (B, T') mean over taps; pad/crop to the score matrix rows
+        t = self.w.shape[0]
+        if emb.shape[1] != t:
+            reps = -(-t // emb.shape[1])
+            emb = jnp.tile(emb, (1, reps))[:, :t]
+        return emb @ self.w
+
     def _raw(self, wav, rng=None):
         b, length = wav.shape
-        return wav.reshape(b, length // self.frame, self.frame).mean(-1)
+        # (B, T, F) like real acoustic features (FeCo etc. need 3-D)
+        return wav.reshape(b, length // self.frame, self.frame)
 
     def _embedding_from_top(self, feats):
-        return feats.reshape(feats.shape[0], -1)
-
-    def _scores_from_emb(self, emb, enroll_embs=None):
-        return emb @ self.w
+        return feats.mean(-1)
 
     def _feat_step(self, feats, ori_flag):
         raise ValueError
