@@ -56,13 +56,13 @@ class CW2(Attack):
         max_iter, stop_early = self.max_iter, self.stop_early
         stop_early_iter = self.stop_early_iter
 
-        def run(x, y, const, rng):
+        def run(params, x, y, const, rng):
             b = x.shape[0]
             x_atanh = jnp.arctanh(x * ATANH_CLIP)
 
             def losses(modifier, key):
                 input_x = jnp.tanh(modifier + x_atanh)
-                scores = model.score(input_x, rng=key)
+                scores = model.score(input_x, rng=key, params=params)
                 l1 = self._loss1(scores, y)
                 l2 = jnp.sum(jnp.square(input_x - x), axis=-1)
                 return jnp.sum(const * l1 + l2), (l1, l2, scores, input_x)
@@ -131,7 +131,8 @@ class CW2(Attack):
         for step in range(self.binary_search_steps):
             key = jax.random.fold_in(rng, step)
             best_l2, best_score, (g_l2, g_score, g_x) = self._inner(
-                x, y, jnp.asarray(const, jnp.float32), key)
+                self.model.params, x, y, jnp.asarray(const, jnp.float32),
+                key)
             best_score = np.asarray(best_score)
             g_l2, g_score, g_x = (np.asarray(g_l2), np.asarray(g_score),
                                   np.asarray(g_x))

@@ -68,9 +68,10 @@ class FAKEBOB(Attack):
                                threshold=threshold, clip_max=False)
         return fn
 
-    def _nes_step(self, x, y, threshold, key):
+    def _nes_step(self, x, y, threshold, key, params=None):
         """One NES gradient estimate.  threshold: traced scalar."""
-        score_fn = lambda xx, kk: self.model.score(xx, rng=kk)  # noqa: E731
+        score_fn = lambda xx, kk: self.model.score(  # noqa: E731
+            xx, rng=kk, params=params)
         eot_fn = eot_no_grad(score_fn, self._loss_fn(threshold),
                              self.model.threshold)
         nkey, ekey = jax.random.split(key)
@@ -87,7 +88,7 @@ class FAKEBOB(Attack):
         max_iter, stop_early = self.max_iter, self.stop_early
         stop_early_iter, grad_sign = self.stop_early_iter, self.grad_sign
 
-        def run(x0, y, lower, upper, threshold, rng):
+        def run(params, x0, y, lower, upper, threshold, rng):
             b, length = x0.shape
 
             def cond(c):
@@ -97,7 +98,7 @@ class FAKEBOB(Attack):
             def body(c):
                 key = jax.random.fold_in(rng, c["it"])
                 loss, grad, adver_loss, _, y_pred = self._nes_step(
-                    c["x"], y, threshold, key)
+                    c["x"], y, threshold, key, params=params)
 
                 better = jnp.logical_and(c["active"],
                                          adver_loss < c["best_loss"])
@@ -169,8 +170,8 @@ class FAKEBOB(Attack):
             self._run_cache["run"] = jax.jit(self._make_run())
         thr = jnp.asarray(self.threshold if self.threshold is not None
                           else 0.0, jnp.float32)
-        best_x, best_loss = self._run_cache["run"](x, y, lower, upper, thr,
-                                                   rng)
+        best_x, best_loss = self._run_cache["run"](
+            self.model.params, x, y, lower, upper, thr, rng)
         success = (np.asarray(best_loss) < 0).tolist()
         return restore(best_x), success
 
@@ -193,11 +194,13 @@ class FAKEBOB(Attack):
         grad = jnp.zeros_like(x)
 
         if "step" not in self._run_cache:
-            def one_step(adver_x, y, thr, prev_grad, lr, key):
-                loss, g, _, _, _ = self._nes_step(adver_x, y, thr, key)
+            def one_step(params, adver_x, y, thr, prev_grad, lr, lo, hi,
+                         key):
+                loss, g, _, _, _ = self._nes_step(adver_x, y, thr, key,
+                                                  params=params)
                 g = self.momentum * prev_grad + (1.0 - self.momentum) * g
                 nx = adver_x + self.grad_sign * lr * jnp.sign(g)
-                return jnp.clip(nx, lower, upper), g, loss
+                return jnp.clip(nx, lo, hi), g, loss
             self._run_cache["step"] = jax.jit(one_step)
 
         it = 0
@@ -213,8 +216,9 @@ class FAKEBOB(Attack):
                     break  # exceeded candidate without acceptance
                 key = jax.random.fold_in(rng, it)
                 adver_x, grad, loss = self._run_cache["step"](
-                    adver_x, y, jnp.asarray(threshold, jnp.float32), grad,
-                    lr, key)
+                    self.model.params, adver_x, y,
+                    jnp.asarray(threshold, jnp.float32), grad, lr, lower,
+                    upper, key)
                 lv = float(loss[0])
                 ring = (ring + [lv])[-self.plateau_length:]
                 if len(ring) == self.plateau_length and ring[-1] > ring[0]:

@@ -45,19 +45,23 @@ class PGD(Attack):
             loss_name=loss, targeted=targeted, task=task,
             threshold=self.threshold, clip_max=False)
 
-        score_fn = lambda x, key: model.score(x, rng=key)  # noqa: E731
-        self._eot = eot(score_fn, self.loss_fn, model.threshold)
-        self._eot_ng = eot_no_grad(score_fn, self.loss_fn, model.threshold)
         self._run = jax.jit(self._make_run())
 
     def _make_run(self):
         step_size, grad_sign, max_iter = (self.step_size, self.grad_sign,
                                           self.max_iter)
+        model = self.model
 
-        def run(x0, y, lower, upper, keys):
-            """keys: (max_iter + 1, EOT) PRNG keys."""
+        def run(params, x0, y, lower, upper, keys):
+            """params: model pytree (traced, NOT a baked-in constant);
+            keys: (max_iter + 1, EOT) PRNG keys."""
+            score_fn = lambda x, key: model.score(  # noqa: E731
+                x, rng=key, params=params)
+            eot_run = eot(score_fn, self.loss_fn, model.threshold)
+            eot_ng = eot_no_grad(score_fn, self.loss_fn, model.threshold)
+
             def body(x, keys_i):
-                scores, loss, grad, _ = self._eot(x, y, keys_i)
+                scores, loss, grad, _ = eot_run(x, y, keys_i)
                 x = x + step_size * jnp.sign(grad) * grad_sign
                 x = jnp.clip(x, lower, upper)
                 return x, loss
@@ -65,7 +69,7 @@ class PGD(Attack):
             x, losses = jax.lax.scan(body, x0, keys[:-1])
             # final no-grad evaluation with a single EOT repeat
             # (reference FGSM.py:44-47)
-            scores, loss, decisions = self._eot_ng(x, y, keys[-1:][:, 0])
+            scores, loss, decisions = eot_ng(x, y, keys[-1:][:, 0])
             predict = majority_vote(decisions, scores.shape[-1])
             return x, predict, loss
 
@@ -96,7 +100,8 @@ class PGD(Attack):
                                     (self.max_iter + 1) * self.EOT_size
                                     ).reshape(self.max_iter + 1,
                                               self.EOT_size, 2)
-            adver_x, predict, loss = self._run(x0, y, lower, upper, keys)
+            adver_x, predict, loss = self._run(self.model.params, x0, y,
+                                               lower, upper, keys)
             success = self.compare(y, predict, self.targeted)
             rate = sum(success) / len(success)
             if best is None or rate > best[0]:

@@ -46,7 +46,7 @@ class Kenan(Attack):
     def _make_fft_run(self):
         model, targeted, max_iter = self.model, self.targeted, self.max_iter
 
-        def run(x, y, rng):
+        def run(params, x, y, rng):
             max_f = jnp.max(jnp.abs(jnp.fft.fft(x, axis=-1)), axis=-1)
             min_f = jnp.zeros_like(max_f)
             factor = max_f / 2.0
@@ -55,7 +55,8 @@ class Kenan(Attack):
                 min_f, max_f, factor, best_x, succ = carry
                 key = jax.random.fold_in(rng, it)
                 perturbed = fft_compression(x, factor)
-                decisions, _ = model.make_decision(perturbed, rng=key)
+                decisions, _ = model.make_decision(perturbed, rng=key,
+                                                   params=params)
                 hit = (decisions == y) if targeted else (decisions != y)
                 best_x = jnp.where(hit[:, None], perturbed, best_x)
                 succ = jnp.logical_or(succ, hit)
@@ -74,7 +75,7 @@ class Kenan(Attack):
     def _attack_fft(self, x, y, rng):
         if self._fft_run is None:
             self._fft_run = jax.jit(self._make_fft_run())
-        best_x, succ = self._fft_run(x, y, rng)
+        best_x, succ = self._fft_run(self.model.params, x, y, rng)
         return best_x, np.asarray(succ).tolist()
 
     # ------------------------------------------------------------------

@@ -57,14 +57,16 @@ class SirenAttack(Attack):
 
     def _make_epoch(self):
         p = self.n_particles
-        score_fn = lambda xx, kk: self.model.score(xx, rng=kk)  # noqa: E731
-        eot_fn = eot_no_grad(score_fn, self._loss_fn(), self.model.threshold)
         c1, c2 = self.c1, self.c2
         w_init, w_end, max_iter = self.w_init, self.w_end, self.max_iter
         abort_early, abort_iter = self.abort_early, self.abort_early_iter
 
-        def epoch(x, y, lower, upper, pbest_locations, pbests, gbest_loc,
-                  gbests, gbest_pred, active, rng):
+        def epoch(params, x, y, lower, upper, pbest_locations, pbests,
+                  gbest_loc, gbests, gbest_pred, active, rng):
+            score_fn = lambda xx, kk: self.model.score(  # noqa: E731
+                xx, rng=kk, params=params)
+            eot_fn = eot_no_grad(score_fn, self._loss_fn(),
+                                 self.model.threshold)
             b, length = x.shape
             v_upper = jnp.abs(upper - lower)
             vkey, lkey = jax.random.split(rng)
@@ -193,9 +195,9 @@ class SirenAttack(Attack):
                     axis=1)
 
             (pbest_locations, pbests, gbest_loc, gbests, gbest_pred,
-             active) = self._epoch_fn(x, y, lower, upper, pbest_locations,
-                                      pbests, gbest_loc, gbests, gbest_pred,
-                                      active, ekey2)
+             active) = self._epoch_fn(self.model.params, x, y, lower, upper,
+                                      pbest_locations, pbests, gbest_loc,
+                                      gbests, gbest_pred, active, ekey2)
 
             if not bool(jnp.any(active)):
                 break

@@ -164,24 +164,36 @@ class AudioNet(SRSModel):
 
     def __init__(self, params: AudioNetParams, state: AudioNetState,
                  spk_ids=None, logmel_config=AUDIONET_LOGMEL):
-        self.params = params
+        self.net_params = params
         self.state = state
         self.logmel_config = logmel_config
         num_class = int(params.fc_b.shape[0])
         self.spk_ids = (list(spk_ids) if spk_ids is not None
                         else [str(i) for i in range(num_class)])
 
-    def _raw(self, wav, rng=None):
+    @property
+    def params(self):
+        """The jit-threaded pytree is (net params, bn state)."""
+        return (self.net_params, self.state)
+
+    @params.setter
+    def params(self, value):
+        if value is None:
+            return
+        self.net_params, self.state = value
+
+    def _raw(self, wav, rng=None, p=None):
         return audionet_logmel(wav, self.logmel_config)
 
-    def _feat_step(self, feats, ori_flag):
+    def _feat_step(self, feats, ori_flag, p=None):
         raise ValueError("audionet has no feature ladder above flag 1")
 
-    def _embedding_from_top(self, feats):
-        emb, _ = audionet_embedding(self.params, self.state, feats,
-                                    train=False)
+    def _embedding_from_top(self, feats, p=None):
+        net, state = p if p is not None else (self.net_params, self.state)
+        emb, _ = audionet_embedding(net, state, feats, train=False)
         return emb
 
-    def _scores_from_emb(self, emb, enroll_embs=None):
+    def _scores_from_emb(self, emb, enroll_embs=None, p=None):
+        net, _ = p if p is not None else (self.net_params, self.state)
         # enroll_embs unused: CSI-NE scores are classifier logits
-        return emb @ self.params.fc_w + self.params.fc_b
+        return emb @ net.fc_w + net.fc_b

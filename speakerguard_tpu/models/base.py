@@ -62,54 +62,74 @@ class SRSModel:
     def num_spks(self) -> int:
         return len(self.spk_ids) if self.spk_ids is not None else None
 
-    # ---- ladder pieces (override) ----
-    def _raw(self, wav, rng=None):
+    # ---- parameter threading -------------------------------------------
+    # Under jit, closed-over concrete arrays become inlined HLO constants
+    # (a 3.3GB lowering for full-size iv_plda).  Every public method
+    # therefore accepts an explicit `params` pytree; attacks pass
+    # `model.params` into their jitted runners as a traced argument.
+    params = None
+
+    def resolve_params(self, params):
+        return params if params is not None else self.params
+
+    # ---- ladder pieces (override; `p` is the resolved params pytree) ----
+    def _raw(self, wav, rng=None, p=None):
         raise NotImplementedError
 
-    def _feat_step(self, feats, ori_flag):
+    def _feat_step(self, feats, ori_flag, p=None):
         raise NotImplementedError
 
-    def _embedding_from_top(self, feats):
+    def _embedding_from_top(self, feats, p=None):
         raise NotImplementedError
 
-    def _scores_from_emb(self, emb, enroll_embs=None):
+    def _scores_from_emb(self, emb, enroll_embs=None, p=None):
         raise NotImplementedError
 
     # ---- uniform API ----
-    def compute_feat(self, x, flag=1, rng=None):
+    def compute_feat(self, x, flag=1, rng=None, params=None):
         assert flag in self.allowed_flags and flag != 0
+        p = self.resolve_params(params)
         wav = check_input_range(as_batch_wav(x), range_type=self.range_type)
-        feats = self._raw(wav, rng=rng)
+        feats = self._raw(wav, rng=rng, p=p)
         for f in range(1, flag):
-            feats = self._feat_step(feats, f)
+            feats = self._feat_step(feats, f, p=p)
         return feats
 
-    def comput_feat_from_feat(self, feats, ori_flag=1, des_flag=2):
+    def comput_feat_from_feat(self, feats, ori_flag=1, des_flag=2,
+                              params=None):
         assert ori_flag in self.allowed_flags and des_flag in self.allowed_flags
         assert 0 < ori_flag < des_flag
+        p = self.resolve_params(params)
         for f in range(ori_flag, des_flag):
-            feats = self._feat_step(feats, f)
+            feats = self._feat_step(feats, f, p=p)
         return feats
 
-    def embedding(self, x, flag=0, rng=None):
+    def embedding(self, x, flag=0, rng=None, params=None):
         assert flag in self.allowed_flags
+        p = self.resolve_params(params)
         top = self.allowed_flags[-1]
         if flag == 0:
-            feats = self.compute_feat(x, flag=top, rng=rng)
+            feats = self.compute_feat(x, flag=top, rng=rng, params=p)
         elif flag < top:
-            feats = self.comput_feat_from_feat(x, ori_flag=flag, des_flag=top)
+            feats = self.comput_feat_from_feat(x, ori_flag=flag,
+                                               des_flag=top, params=p)
         else:
             feats = x
-        return self._embedding_from_top(feats)
+        return self._embedding_from_top(feats, p=p)
 
-    def forward(self, x, flag=0, return_emb=False, enroll_embs=None, rng=None):
-        emb = self.embedding(x, flag=flag, rng=rng)
-        scores = self._scores_from_emb(emb, enroll_embs=enroll_embs)
+    def forward(self, x, flag=0, return_emb=False, enroll_embs=None,
+                rng=None, params=None):
+        p = self.resolve_params(params)
+        emb = self.embedding(x, flag=flag, rng=rng, params=p)
+        scores = self._scores_from_emb(emb, enroll_embs=enroll_embs, p=p)
         return (scores, emb) if return_emb else scores
 
-    def score(self, x, flag=0, enroll_embs=None, rng=None):
-        return self.forward(x, flag=flag, enroll_embs=enroll_embs, rng=rng)
+    def score(self, x, flag=0, enroll_embs=None, rng=None, params=None):
+        return self.forward(x, flag=flag, enroll_embs=enroll_embs, rng=rng,
+                            params=params)
 
-    def make_decision(self, x, flag=0, enroll_embs=None, rng=None):
-        scores = self.score(x, flag=flag, enroll_embs=enroll_embs, rng=rng)
+    def make_decision(self, x, flag=0, enroll_embs=None, rng=None,
+                      params=None):
+        scores = self.score(x, flag=flag, enroll_embs=enroll_embs, rng=rng,
+                            params=params)
         return decide(scores, self.threshold)

@@ -57,15 +57,23 @@ class DefendedModel(SRSModel):
     def num_defenses(self):
         return len(self.defense) if self.defense else 0
 
+    @property
+    def params(self):
+        return self.base_model.params
+
+    def resolve_params(self, params):
+        return params if params is not None else self.base_model.params
+
     # ------------------------------------------------------------------
     def _active_flags(self):
         return sorted(f for f in self.flag2defense
                       if self.flag2defense[f] or True)
 
-    def process_sequential(self, x, rng=None):
+    def process_sequential(self, x, rng=None, params=None):
         """Walk the feature ladder, applying each defense at its flag level
         (reference defended_model.py:46-63).  Returns features at the highest
         flag that has a defense attached."""
+        p = self.resolve_params(params)
         keys = iter(_split(rng, max(self.num_defenses, 1)))
         xx = x
         flags = sorted(self.flag2defense.keys())
@@ -73,46 +81,53 @@ class DefendedModel(SRSModel):
             if flag == 0:
                 xx = x
             elif flag == 1:
-                xx = self.base_model.compute_feat(xx, flag=1)
+                xx = self.base_model.compute_feat(xx, flag=1, params=p)
             else:
                 xx = self.base_model.comput_feat_from_feat(
-                    xx, ori_flag=flag - 1, des_flag=flag)
+                    xx, ori_flag=flag - 1, des_flag=flag, params=p)
             for defense in self.flag2defense[flag]:
                 xx = defense(xx, rng=next(keys))
         return xx, flags[-1]
 
     # ------------------------------------------------------------------
-    def embedding(self, x, rng=None, flag=0):
+    def embedding(self, x, rng=None, flag=0, params=None):
+        p = self.resolve_params(params)
         if self.defense is None:
-            return self.base_model.embedding(x, flag=0, rng=rng)
+            return self.base_model.embedding(x, flag=0, rng=rng, params=p)
         if self.order == SEQUENTIAL:
-            xx, top = self.process_sequential(x, rng=rng)
-            return self.base_model.embedding(xx, flag=top)
-        return self._average(x, rng, want="emb")
+            xx, top = self.process_sequential(x, rng=rng, params=p)
+            return self.base_model.embedding(xx, flag=top, params=p)
+        return self._average(x, rng, want="emb", params=p)
 
     def forward(self, x, return_emb=False, enroll_embs=None, rng=None,
-                flag=0):
+                flag=0, params=None):
+        p = self.resolve_params(params)
         if self.defense is None:
             return self.base_model.forward(x, flag=0, return_emb=return_emb,
-                                           enroll_embs=enroll_embs, rng=rng)
+                                           enroll_embs=enroll_embs, rng=rng,
+                                           params=p)
         if self.order == SEQUENTIAL:
-            xx, top = self.process_sequential(x, rng=rng)
+            xx, top = self.process_sequential(x, rng=rng, params=p)
             return self.base_model.forward(xx, flag=top,
                                            return_emb=return_emb,
-                                           enroll_embs=enroll_embs)
+                                           enroll_embs=enroll_embs, params=p)
         scores, emb = self._average(x, rng, want="both",
-                                    enroll_embs=enroll_embs)
+                                    enroll_embs=enroll_embs, params=p)
         return (scores, emb) if return_emb else scores
 
-    def score(self, x, enroll_embs=None, rng=None, flag=0):
-        return self.forward(x, enroll_embs=enroll_embs, rng=rng)
+    def score(self, x, enroll_embs=None, rng=None, flag=0, params=None):
+        return self.forward(x, enroll_embs=enroll_embs, rng=rng,
+                            params=params)
 
-    def make_decision(self, x, enroll_embs=None, rng=None, flag=0):
-        scores = self.score(x, enroll_embs=enroll_embs, rng=rng)
+    def make_decision(self, x, enroll_embs=None, rng=None, flag=0,
+                      params=None):
+        scores = self.score(x, enroll_embs=enroll_embs, rng=rng,
+                            params=params)
         return decide(scores, self.base_model.threshold)
 
     # ------------------------------------------------------------------
-    def _average(self, x, rng, want="both", enroll_embs=None):
+    def _average(self, x, rng, want="both", enroll_embs=None, params=None):
+        p = self.resolve_params(params)
         """Ensemble-average composition (reference defended_model.py:107-126):
         each defense runs on the *clean* features at its flag level; scores
         and embeddings are averaged."""
@@ -122,11 +137,13 @@ class DefendedModel(SRSModel):
             defenses = self.flag2defense[flag]
             if not defenses:
                 continue
-            xx = x if flag == 0 else self.base_model.compute_feat(x, flag=flag)
+            xx = x if flag == 0 else self.base_model.compute_feat(
+                x, flag=flag, params=p)
             for defense in defenses:
                 xxx = defense(xx, rng=next(keys))
                 scores, emb = self.base_model.forward(
-                    xxx, flag=flag, return_emb=True, enroll_embs=enroll_embs)
+                    xxx, flag=flag, return_emb=True,
+                    enroll_embs=enroll_embs, params=p)
                 scores_acc = scores if scores_acc is None else scores_acc + scores
                 emb_acc = emb if emb_acc is None else emb_acc + emb
                 n += 1

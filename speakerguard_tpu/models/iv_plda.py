@@ -34,9 +34,12 @@ class IvPldaParams(NamedTuple):
 
 
 def random_iv_plda_params(rng: np.random.Generator, num_gaussians: int = 2048,
-                          dim: int = 60, ivector_dim: int = 600,
+                          dim: int = 72, ivector_dim: int = 600,
                           reduced_dim: int = 200) -> IvPldaParams:
-    """Random fixture mirroring the reference's random=True constructors."""
+    """Random fixture mirroring the reference's random=True constructors.
+    Default dim=72 = num_ceps(24) x 3 (base+delta+delta2), consistent with
+    the default MFCC config (the reference's random=True uses 60, which is
+    inconsistent with its own frontend and only ever used standalone)."""
     return IvPldaParams(
         fgmm=gmm_mod.random_gmm(rng, num_gaussians, dim),
         extractor=iv_mod.random_extractor(rng, num_gaussians, dim, ivector_dim),
@@ -86,6 +89,9 @@ def process_emb(params: IvPldaParams, ivec: jnp.ndarray) -> jnp.ndarray:
 def embedding_from_cmvn(params: IvPldaParams, feats: jnp.ndarray
                         ) -> jnp.ndarray:
     """(B, T, D) CMVN features -> (B, R) processed embeddings."""
+    assert feats.shape[-1] == params.fgmm.dim, (
+        f"feature dim {feats.shape[-1]} != UBM dim {params.fgmm.dim}; "
+        "check num_ceps (features are num_ceps*3 after deltas)")
     zeroth, first = gmm_mod.zeroth_first_stats(params.fgmm, feats)
     ivec = iv_mod.extract_ivectors(params.extractor, zeroth, first)
     return process_emb(params, ivec)
@@ -121,20 +127,22 @@ class IvPlda(SRSModel):
         self.z_norm_means = z_norm_means
         self.z_norm_stds = z_norm_stds
 
-    def _raw(self, wav, rng=None):
+    def _raw(self, wav, rng=None, p=None):
         return kaldi_mfcc(wav, self.mfcc_config, rng=rng)
 
-    def _feat_step(self, feats, ori_flag):
+    def _feat_step(self, feats, ori_flag, p=None):
         if ori_flag == 1:
             return add_delta(feats)
         if ori_flag == 2:
             return sliding_cmvn(feats)
         raise ValueError(ori_flag)
 
-    def _embedding_from_top(self, feats):
-        return embedding_from_cmvn(self.params, feats)
+    def _embedding_from_top(self, feats, p=None):
+        return embedding_from_cmvn(p if p is not None else self.params,
+                                   feats)
 
-    def _scores_from_emb(self, emb, enroll_embs=None):
+    def _scores_from_emb(self, emb, enroll_embs=None, p=None):
         enroll = enroll_embs if enroll_embs is not None else self.enroll_embs
         assert enroll is not None, "model has no enrolled speakers"
-        return scores_from_emb(self.params, emb, enroll)
+        return scores_from_emb(p if p is not None else self.params, emb,
+                               enroll)

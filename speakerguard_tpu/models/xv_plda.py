@@ -95,20 +95,21 @@ class XvPlda(SRSModel):
         self.z_norm_means = z_norm_means
         self.z_norm_stds = z_norm_stds
 
-    def _raw(self, wav, rng=None):
+    def _raw(self, wav, rng=None, p=None):
         return kaldi_mfcc(wav, self.mfcc_config, rng=rng)
 
-    def _feat_step(self, feats, ori_flag):
+    def _feat_step(self, feats, ori_flag, p=None):
         if ori_flag == 1:
             return sliding_cmvn(feats)
         raise ValueError(ori_flag)
 
-    def _embedding_from_top(self, feats):
-        emb = tdnn_embedding(self.params.tdnn, feats)
-        return process_emb(self.params, emb)
+    def _embedding_from_top(self, feats, p=None):
+        p = p if p is not None else self.params
+        emb = tdnn_embedding(p.tdnn, feats)
+        return process_emb(p, emb)
 
-    def _scores_from_emb(self, emb, enroll_embs=None):
+    def _scores_from_emb(self, emb, enroll_embs=None, p=None):
+        p = p if p is not None else self.params
         enroll = enroll_embs if enroll_embs is not None else self.enroll_embs
         assert enroll is not None, "model has no enrolled speakers"
-        return plda_mod.llr_scores(self.params.plda, enroll, emb,
-                                   num_examples=1)
+        return plda_mod.llr_scores(p.plda, enroll, emb, num_examples=1)

@@ -32,7 +32,7 @@ class ToyModel(SRSModel):
         self.frame = frame
         self.spk_ids = [str(i) for i in range(num_class)]
 
-    def _scores_from_emb(self, emb, enroll_embs=None):
+    def _scores_from_emb(self, emb, enroll_embs=None, p=None):
         # emb: (B, T') mean over taps; pad/crop to the score matrix rows
         t = self.w.shape[0]
         if emb.shape[1] != t:
@@ -40,15 +40,15 @@ class ToyModel(SRSModel):
             emb = jnp.tile(emb, (1, reps))[:, :t]
         return emb @ self.w
 
-    def _raw(self, wav, rng=None):
+    def _raw(self, wav, rng=None, p=None):
         b, length = wav.shape
         # (B, T, F) like real acoustic features (FeCo etc. need 3-D)
         return wav.reshape(b, length // self.frame, self.frame)
 
-    def _embedding_from_top(self, feats):
+    def _embedding_from_top(self, feats, p=None):
         return feats.mean(-1)
 
-    def _feat_step(self, feats, ori_flag):
+    def _feat_step(self, feats, ori_flag, p=None):
         raise ValueError
 
 
