@@ -92,7 +92,11 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
     linear = jnp.einsum("cid,bcd->bi", params.proj, first,
                         precision=jax.lax.Precision.HIGHEST)
     linear = linear.at[:, 0].add(params.offset)
-    ivec = jnp.linalg.solve(l_mat, linear[..., None])[..., 0]
+    # L is SPD by construction (I + sum of PSD terms): solve via Cholesky.
+    # (Also essential on TPU: the general LU jnp.linalg.solve triggers a
+    # pathological multi-minute XLA compile when fused into larger graphs.)
+    chol = jnp.linalg.cholesky(l_mat)
+    ivec = jax.scipy.linalg.cho_solve((chol, True), linear[..., None])[..., 0]
     return ivec.at[:, 0].add(-params.offset)
 
 
