@@ -16,7 +16,24 @@ import jax.numpy as jnp
 from speakerguard_tpu.models.base import decide
 
 
-def eot(score_fn, loss_fn, threshold: float):
+def _chunked(per_key_vmapped, keys, eot_batch_size):
+    """Run the vmapped per-key fn over `keys` in chunks of eot_batch_size
+    (the reference's EOT_batch_size memory knob, EOT.py:26): a lax.map over
+    chunk groups, vmap within each chunk.  Results are concatenated back to
+    the full EOT axis."""
+    e = keys.shape[0]
+    if eot_batch_size is None or eot_batch_size >= e:
+        return per_key_vmapped(keys)
+    assert e % eot_batch_size == 0, \
+        "EOT size must be divisible by EOT batch size"
+    grouped = keys.reshape(e // eot_batch_size, eot_batch_size,
+                           *keys.shape[1:])
+    out = jax.lax.map(per_key_vmapped, grouped)
+    return jax.tree.map(
+        lambda a: a.reshape(e, *a.shape[2:]), out)
+
+
+def eot(score_fn, loss_fn, threshold: float, eot_batch_size=None):
     """Returns fn(x, y, keys) -> (scores (B,S), loss (B,), grad like x,
     decisions (E, B)); means over the EOT axis."""
 
@@ -30,14 +47,15 @@ def eot(score_fn, loss_fn, threshold: float):
             decisions, _ = decide(scores, threshold)
             return scores, loss, grad, decisions
 
-        scores, loss, grad, decisions = jax.vmap(per_key)(keys)
+        scores, loss, grad, decisions = _chunked(
+            jax.vmap(per_key), keys, eot_batch_size)
         return (jnp.mean(scores, 0), jnp.mean(loss, 0), jnp.mean(grad, 0),
                 decisions)
 
     return run
 
 
-def eot_no_grad(score_fn, loss_fn, threshold: float):
+def eot_no_grad(score_fn, loss_fn, threshold: float, eot_batch_size=None):
     """Score-only variant for black-box attacks (use_grad=False)."""
 
     def run(x, y, keys):
@@ -47,7 +65,8 @@ def eot_no_grad(score_fn, loss_fn, threshold: float):
             decisions, _ = decide(scores, threshold)
             return scores, loss, decisions
 
-        scores, loss, decisions = jax.vmap(per_key)(keys)
+        scores, loss, decisions = _chunked(
+            jax.vmap(per_key), keys, eot_batch_size)
         return jnp.mean(scores, 0), jnp.mean(loss, 0), decisions
 
     return run

@@ -37,6 +37,9 @@ class PGD(Attack):
         self.targeted = targeted
         self.verbose = verbose
         self.EOT_size = max(1, EOT_size)
+        self.EOT_batch_size = max(1, EOT_batch_size)
+        assert self.EOT_size % self.EOT_batch_size == 0, \
+            "EOT size should be divisible by EOT batch size"
 
         self.threshold = None
         if task in ("SV", "OSI"):
@@ -57,7 +60,8 @@ class PGD(Attack):
             keys: (max_iter + 1, EOT) PRNG keys."""
             score_fn = lambda x, key: model.score(  # noqa: E731
                 x, rng=key, params=params)
-            eot_run = eot(score_fn, self.loss_fn, model.threshold)
+            eot_run = eot(score_fn, self.loss_fn, model.threshold,
+                          self.EOT_batch_size)
             eot_ng = eot_no_grad(score_fn, self.loss_fn, model.threshold)
 
             def body(x, keys_i):
