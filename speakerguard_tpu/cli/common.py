@@ -59,12 +59,18 @@ def build_model(args, need_enroll=True):
     if args.system_type == "iv_plda":
         from speakerguard_tpu.models.iv_plda import (
             IvPlda, load_iv_plda_params)
+        from speakerguard_tpu.ops.kaldi_mfcc import MfccConfig
         params = load_iv_plda_params(args.gmm, args.extractor, args.plda,
                                      args.mean, args.transform)
+        # infer num_ceps from the UBM dim (features are ceps*3 post-delta)
+        num_ceps = params.fgmm.dim // 3
+        assert num_ceps * 3 == params.fgmm.dim, \
+            f"UBM dim {params.fgmm.dim} is not divisible by 3"
         base = IvPlda(params,
                       model_file=getattr(args, "model_file", None)
                       if need_enroll else None,
-                      threshold=threshold)
+                      threshold=threshold,
+                      mfcc_config=MfccConfig(num_ceps=num_ceps))
     elif args.system_type == "xv_plda":
         from speakerguard_tpu.models.xv_plda import (
             XvPlda, load_xv_plda_params)

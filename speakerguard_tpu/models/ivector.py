@@ -79,6 +79,35 @@ def random_extractor(rng: np.random.Generator, num_gaussians: int = 2048,
     return build_extractor(m, sigma_inv, 1.0)
 
 
+@jax.custom_vjp
+def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve x = L^-1 rhs via Cholesky.  l_mat: (B, N, N)
+    symmetric positive definite; rhs: (B, N).
+
+    Custom VJP uses the implicit function theorem with the SAME Cholesky
+    factor (grad_rhs = L^-1 g; grad_L = -outer(grad_rhs, x)) instead of
+    differentiating through the factorization — much cheaper to compile and
+    run than autodiff of cholesky on TPU."""
+    chol = jnp.linalg.cholesky(l_mat)
+    return jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
+
+
+def _spd_solve_fwd(l_mat, rhs):
+    chol = jnp.linalg.cholesky(l_mat)
+    x = jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
+    return x, (chol, x)
+
+
+def _spd_solve_bwd(res, g):
+    chol, x = res
+    u = jax.scipy.linalg.cho_solve((chol, True), g[..., None])[..., 0]
+    grad_l = -jnp.einsum("bi,bj->bij", u, x)
+    return grad_l, u
+
+
+spd_solve.defvjp(_spd_solve_fwd, _spd_solve_bwd)
+
+
 def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
                      first: jnp.ndarray) -> jnp.ndarray:
     """zeroth: (B, C), first: (B, C, D) -> ivectors (B, IV).
@@ -92,11 +121,11 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
     linear = jnp.einsum("cid,bcd->bi", params.proj, first,
                         precision=jax.lax.Precision.HIGHEST)
     linear = linear.at[:, 0].add(params.offset)
-    # L is SPD by construction (I + sum of PSD terms): solve via Cholesky.
-    # (Also essential on TPU: the general LU jnp.linalg.solve triggers a
-    # pathological multi-minute XLA compile when fused into larger graphs.)
-    chol = jnp.linalg.cholesky(l_mat)
-    ivec = jax.scipy.linalg.cho_solve((chol, True), linear[..., None])[..., 0]
+    # L is SPD by construction (I + sum of PSD terms): Cholesky solve with
+    # an implicit-function-theorem VJP.  (Also essential on TPU: the
+    # general LU jnp.linalg.solve triggers a pathological multi-minute XLA
+    # compile when fused into larger graphs.)
+    ivec = spd_solve(l_mat, linear)
     return ivec.at[:, 0].add(-params.offset)
 
 
