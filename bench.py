@@ -23,17 +23,29 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from speakerguard_tpu.models.xv_plda import (
-        XvPlda, random_xv_plda_params)
+    from speakerguard_tpu.utils.compile_cache import enable as enable_cache
     from speakerguard_tpu.attacks import PGD
 
+    enable_cache()
     rng = np.random.default_rng(0)
-    params = random_xv_plda_params(rng)
-    model = XvPlda(params)
-    enroll = jnp.asarray(rng.standard_normal((10, 150)).astype(np.float32))
+    model_kind = os.environ.get("BENCH_MODEL", "xv_plda")
+    if model_kind == "iv_plda":
+        from speakerguard_tpu.models.iv_plda import (
+            IvPlda, random_iv_plda_params)
+        model = IvPlda(random_iv_plda_params(rng))
+        enroll = jnp.asarray(
+            rng.standard_normal((10, 200)).astype(np.float32))
+        default_batch = "16"
+    else:
+        from speakerguard_tpu.models.xv_plda import (
+            XvPlda, random_xv_plda_params)
+        model = XvPlda(random_xv_plda_params(rng))
+        enroll = jnp.asarray(
+            rng.standard_normal((10, 150)).astype(np.float32))
+        default_batch = "64"
     model.set_enrollment([str(i) for i in range(10)], enroll)
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
     wav_len = int(os.environ.get("BENCH_WAV_LEN", "48000"))  # 3 s
     max_iter = int(os.environ.get("BENCH_PGD_ITERS", "100"))
 
@@ -66,7 +78,7 @@ def main():
         # PGD-100 xv-PLDA pipeline, per-utterance loops (bench_reference.py)
 
     print(json.dumps({
-        "metric": "pgd100_xv_plda_utts_per_sec",
+        "metric": f"pgd{max_iter}_{model_kind}_utts_per_sec",
         "value": round(utts_per_sec, 3),
         "unit": "utterances/sec",
         "vs_baseline": round(utts_per_sec / baseline, 2),
