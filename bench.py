@@ -70,12 +70,18 @@ def main():
     utts_per_sec = batch / dt
 
     baseline = None
-    if os.path.exists("bench_baseline.json"):
-        with open("bench_baseline.json") as f:
+    baseline_file = (f"bench_baseline_{model_kind}.json"
+                     if model_kind != "xv_plda" else "bench_baseline.json")
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
             baseline = json.load(f).get("utts_per_sec")
     if baseline is None:
-        baseline = 0.0562  # measured: reference-equivalent torch-CPU
-        # PGD-100 xv-PLDA pipeline, per-utterance loops (bench_reference.py)
+        # measured reference-equivalent torch-CPU PGD-100 throughputs
+        # (bench_reference.py, per-utterance loops)
+        baseline = {"xv_plda": 0.0562, "iv_plda": 4e-05}.get(
+            model_kind, 0.0562)
+    # baselines are PGD-100; reference cost is linear in iterations
+    baseline = baseline * (100.0 / max_iter)
 
     print(json.dumps({
         "metric": f"pgd{max_iter}_{model_kind}_utts_per_sec",

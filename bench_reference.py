@@ -128,7 +128,62 @@ class TDNN(torch.nn.Module):
         return self.fc1(stats)
 
 
+def main_iv():
+    """Reference-equivalent iv_plda pipeline: per-utterance GMM Baum-Welch
+    stats (frame-chunked at gmm_frame_bs=200, reference gmm.py:120-131) and
+    the per-call T^T Sigma^-1 T matmul chain of Extractivector
+    (ivector_extract.py:106 — the reference recomputes it every forward).
+    Cost is deterministic, so we measure one utterance-iteration and
+    extrapolate to the PGD-100 batch."""
+    import os
+    build_consts()
+    C, D, IV = 2048, 72, 600
+    gconsts = torch.randn(C)
+    mic = torch.randn(C, D) * 0.1
+    a = torch.randn(C, D, D) * 0.05
+    invcov = a @ a.transpose(1, 2) + torch.eye(D)
+    m = torch.randn(C, D, IV) * 0.05
+    sig = invcov.clone()
+
+    wav_len = 48000
+    wav = ((torch.rand(wav_len) - 0.5) * 0.6 * 32768).requires_grad_()
+
+    t0 = time.perf_counter()
+    feat = mfcc_torch(wav)
+    feat3 = torch.cat([feat, feat, feat], dim=1)[:, :D]  # delta stand-in
+    feat3 = cmvn_loop(feat3)
+    # GMM loglike, frame-chunked like the reference
+    ll = (feat3 @ mic.T)
+    bs = 200
+    for s in range(0, feat3.shape[0], bs):
+        xx = feat3[s:s + bs]
+        ll[s:s + bs] -= 0.5 * torch.einsum(
+            "td,cde,te->tc", xx, invcov, xx)
+    ll = ll + gconsts
+    post = torch.softmax(ll, dim=1)
+    zeroth = post.sum(0)
+    first = post.T @ feat3
+    # per-call matmul chain (the reference's Extractivector)
+    quad = torch.matmul(torch.matmul(m.transpose(1, 2), sig), m)
+    L = torch.eye(IV) + (zeroth.view(C, 1, 1) * quad).sum(0)
+    linear = torch.matmul(torch.matmul(m.transpose(1, 2), sig),
+                          first.unsqueeze(-1)).sum(dim=(0, 2))
+    ivec = torch.linalg.solve(L, linear)
+    loss = ivec.square().sum()
+    loss.backward()
+    dt = time.perf_counter() - t0
+    # PGD-100: 101 model evaluations per utterance
+    utts_per_sec = 1.0 / (dt * 101)
+    out = {"utts_per_sec": round(utts_per_sec, 5), "per_iter_s": round(dt, 2),
+           "model": "iv_plda", "extrapolated_from": "1 utt x 1 iter"}
+    with open("bench_baseline_iv_plda.json", "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+
 def main():
+    if __import__("os").environ.get("REF_MODEL") == "iv_plda":
+        return main_iv()
     build_consts()
     tdnn = TDNN().eval()
     lda = torch.randn(150, 513) * 0.05
