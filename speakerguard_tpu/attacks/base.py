@@ -16,6 +16,7 @@ from speakerguard_tpu.attacks.losses import compare
 
 class Attack:
     targeted: bool = False
+    batch_size: int = 1
 
     def attack(self, x, y, rng=None):
         raise NotImplementedError
@@ -23,6 +24,23 @@ class Attack:
     def compare(self, y, y_pred, targeted):
         return np.asarray(compare(jnp.asarray(y), jnp.asarray(y_pred),
                                   targeted)).tolist()
+
+    def run_batched(self, attack_batch_fn, x, y, rng, batch_size=None):
+        """Split the input into batch_size chunks like the reference's
+        attack() loops (FGSM.py:83-96); equal-size chunks share one
+        compilation, a ragged tail compiles once more."""
+        import jax
+        n = x.shape[0]
+        bs = min(batch_size or getattr(self, "batch_size", n) or n, n)
+        if bs >= n:
+            return attack_batch_fn(x, y, rng)
+        advers, successes = [], []
+        for i, s in enumerate(range(0, n, bs)):
+            a, su = attack_batch_fn(x[s:s + bs], y[s:s + bs],
+                                    jax.random.fold_in(rng, i))
+            advers.append(a)
+            successes += list(su)
+        return jnp.concatenate(advers, axis=0), successes
 
 
 def normalize_wav_input(x):

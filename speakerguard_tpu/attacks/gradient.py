@@ -26,8 +26,13 @@ class PGD(Attack):
 
     def __init__(self, model, task="CSI", epsilon=0.002, step_size=0.0004,
                  max_iter=10, num_random_init=0, loss="Entropy",
-                 targeted=False, batch_size=1, EOT_size=1, EOT_batch_size=1,
-                 verbose=0):
+                 targeted=False, batch_size=None, EOT_size=1,
+                 EOT_batch_size=1, verbose=0):
+        # batch_size: optional memory knob chunking the input like the
+        # reference's attack() loops; None (default) = whole input in one
+        # compiled batch (the TPU-right default; dataset-level batching
+        # happens in the CLI loader)
+        self.batch_size = batch_size
         self.model = model
         self.task = task
         self.epsilon = epsilon
@@ -88,6 +93,14 @@ class PGD(Attack):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         x, restore = normalize_wav_input(x)
         y = jnp.asarray(y)
+        if self.batch_size and self.batch_size < x.shape[0]:
+            adver, success = self.run_batched(self._attack_whole, x, y, rng,
+                                              self.batch_size)
+            return restore(adver), success
+        adver, success = self._attack_whole(x, y, rng)
+        return restore(adver), success
+
+    def _attack_whole(self, x, y, rng):
         lower, upper = self._bounds(x)
         n_restarts = max(1, self.num_random_init)
         init_key, *loop_keys = jax.random.split(rng, n_restarts + 1)
@@ -111,14 +124,14 @@ class PGD(Attack):
             if best is None or rate > best[0]:
                 best = (rate, adver_x, success)
         _, adver_x, success = best
-        return restore(adver_x), success
+        return adver_x, success
 
 
 class FGSM(PGD):
 
     def __init__(self, model, task="CSI", epsilon=0.002, loss="Entropy",
-                 targeted=False, batch_size=1, EOT_size=1, EOT_batch_size=1,
-                 verbose=0):
+                 targeted=False, batch_size=None, EOT_size=1,
+                 EOT_batch_size=1, verbose=0):
         super().__init__(model, task=task, epsilon=epsilon,
                          step_size=epsilon, max_iter=1, num_random_init=0,
                          loss=loss, targeted=targeted, batch_size=batch_size,
@@ -135,8 +148,8 @@ class CWinf(PGD):
 
     def __init__(self, model, task="CSI", epsilon=0.002, step_size=0.0004,
                  max_iter=10, num_random_init=0, loss="Margin",
-                 targeted=False, batch_size=1, EOT_size=1, EOT_batch_size=1,
-                 verbose=0):
+                 targeted=False, batch_size=None, EOT_size=1,
+                 EOT_batch_size=1, verbose=0):
         super().__init__(model, task=task, epsilon=epsilon,
                          step_size=step_size, max_iter=max_iter,
                          num_random_init=num_random_init, loss="Margin",

@@ -55,6 +55,16 @@ def validate(params, state, spk_ids, root):
 
 def main(args):
     rng = np.random.default_rng(args.seed)
+    if not os.path.exists(args.label_encoder):
+        # build the label encoder from the training-set speaker dirs
+        # (the reference ships this file; we synthesize it when absent)
+        from speakerguard_tpu.utils.kaldi_io import write_label_encoder
+        train_root = os.path.join(args.root, "Spk251_train")
+        spk_dirs = sorted(d for d in os.listdir(train_root)
+                          if os.path.isdir(os.path.join(train_root, d)))
+        write_label_encoder(args.label_encoder, spk_dirs)
+        print(f"wrote label encoder for {len(spk_dirs)} speakers to "
+              f"{args.label_encoder}")
     spk_ids = parse_label_encoder(args.label_encoder)
 
     if args.ori_model_ckpt:

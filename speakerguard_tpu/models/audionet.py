@@ -197,3 +197,7 @@ class AudioNet(SRSModel):
         net, _ = p if p is not None else (self.net_params, self.state)
         # enroll_embs unused: CSI-NE scores are classifier logits
         return emb @ net.fc_w + net.fc_b
+
+    def predict_from_embeddings(self, emb, params=None):
+        """Reference-API alias (audionet_csine.py:210-211)."""
+        return self._scores_from_emb(emb, p=self.resolve_params(params))

@@ -133,3 +133,13 @@ class SRSModel:
         scores = self.score(x, flag=flag, enroll_embs=enroll_embs, rng=rng,
                             params=params)
         return decide(scores, self.threshold)
+
+    # ---- reference-API aliases (iv_plda.py:197, :380) ----
+    def raw(self, x, rng=None, params=None):
+        """wav -> flag-1 acoustic features."""
+        return self.compute_feat(x, flag=1, rng=rng, params=params)
+
+    def extract_emb(self, feats, params=None):
+        """top-level features -> embeddings."""
+        return self._embedding_from_top(feats,
+                                        p=self.resolve_params(params))

@@ -172,6 +172,25 @@ def parse_enroll_model_file(path: str):
     return len(spk_ids), spk_ids, z_means, z_stds, embs
 
 
+def parse_mean_file_2(path):
+    """Pickled (1, emb_dim) mean used by other models
+    (reference model/utils.py:84-91); returns 0 when path is None."""
+    if path is None:
+        return 0
+    import pickle
+    with open(path, "rb") as f:
+        mean = pickle.load(f)
+    return np.asarray(mean).reshape(-1)
+
+
+def write_label_encoder(path: str, spk_ids):
+    """Write the audionet label-encoder txt ('spk_id' label rows,
+    reference label-encoder-audionet-Spk251_test.txt format)."""
+    with open(path, "w") as f:
+        for i, sid in enumerate(spk_ids):
+            f.write(f"'{sid}' {i}\n")
+
+
 def write_enroll_model_file(path: str, spk_ids, emb_paths, z_means, z_stds):
     with open(path, "w") as f:
         for sid, ep, zm, zs in zip(spk_ids, emb_paths, z_means, z_stds):
