@@ -87,7 +87,15 @@ def build_model(args, need_enroll=True):
         spk_ids = (parse_label_encoder(args.label_encoder)
                    if args.label_encoder else None)
         assert args.extractor is not None, "audionet needs a checkpoint"
-        params, state, _, _ = load_checkpoint(args.extractor)
+        try:
+            params, state, _, _ = load_checkpoint(args.extractor)
+        except Exception:
+            # reference checkpoints are torch state dicts
+            import torch
+            from speakerguard_tpu.models.audionet import (
+                load_audionet_from_torch_state)
+            params, state = load_audionet_from_torch_state(
+                torch.load(args.extractor, map_location="cpu"))
         base = AudioNet(params, state, spk_ids=spk_ids)
     else:
         raise NotImplementedError("Unsupported system type")

@@ -148,6 +148,44 @@ def audionet_logits(params: AudioNetParams, state: AudioNetState,
     return emb @ params.fc_w + params.fc_b, emb, new_state
 
 
+def load_audionet_from_torch_state(state: dict
+                                   ) -> tuple[AudioNetParams, AudioNetState]:
+    """Convert a torch state_dict in the reference layout
+    (audionet_csine.py: conv1 Sequential(Conv2d, BatchNorm2d), conv2..conv8
+    Sequential(Conv1d, BatchNorm1d, ...), fc Linear) into params/state.
+    torch Conv1d weight (out, in, k) -> (k, in, out); Conv2d (out, in, kh,
+    kw) -> (kh, kw, in, out); Linear (out, in) -> (in, out)."""
+    def arr(k):
+        v = state[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    ws, bs, gs, bts, ms, vs = [], [], [], [], [], []
+    for i in range(2, 9):
+        ws.append(jnp.asarray(arr(f"conv{i}.0.weight").transpose(2, 1, 0),
+                              jnp.float32))
+        bs.append(jnp.asarray(arr(f"conv{i}.0.bias"), jnp.float32))
+        gs.append(jnp.asarray(arr(f"conv{i}.1.weight"), jnp.float32))
+        bts.append(jnp.asarray(arr(f"conv{i}.1.bias"), jnp.float32))
+        ms.append(jnp.asarray(arr(f"conv{i}.1.running_mean"), jnp.float32))
+        vs.append(jnp.asarray(arr(f"conv{i}.1.running_var"), jnp.float32))
+    params = AudioNetParams(
+        conv1_w=jnp.asarray(arr("conv1.0.weight").transpose(2, 3, 1, 0),
+                            jnp.float32),
+        conv1_b=jnp.asarray(arr("conv1.0.bias"), jnp.float32),
+        conv1_gamma=jnp.asarray(arr("conv1.1.weight"), jnp.float32),
+        conv1_beta=jnp.asarray(arr("conv1.1.bias"), jnp.float32),
+        conv_w=tuple(ws), conv_b=tuple(bs), gamma=tuple(gs),
+        beta=tuple(bts),
+        fc_w=jnp.asarray(arr("fc.weight").T, jnp.float32),
+        fc_b=jnp.asarray(arr("fc.bias"), jnp.float32))
+    bstate = AudioNetState(
+        jnp.asarray(arr("conv1.1.running_mean"), jnp.float32),
+        jnp.asarray(arr("conv1.1.running_var"), jnp.float32),
+        tuple(ms), tuple(vs))
+    return params, bstate
+
+
 def parse_label_encoder(path: str):
     """Reference label-encoder txt: rows of 'spk_id' label
     (audionet_csine.py:37-48).  Returns ordered spk_ids list."""

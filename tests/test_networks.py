@@ -84,7 +84,8 @@ def test_tdnn_matches_torch(rng):
 
 
 class TorchAudioNet(nn.Module):
-    """Oracle AudioNet conv stack (arXiv:1807.03418 adaption)."""
+    """Oracle AudioNet conv stack (arXiv:1807.03418 adaption), with the
+    reference's state_dict layout (conv1..conv8, fc)."""
 
     def __init__(self, num_class):
         super().__init__()
@@ -94,15 +95,17 @@ class TorchAudioNet(nn.Module):
         spec = [(32, 64, 1, True), (64, 128, 1, False), (128, 128, 1, False),
                 (128, 128, 1, True), (128, 128, 1, False), (128, 64, 1, True),
                 (64, 32, 0, False)]
-        blocks = []
-        for cin, cout, pad, pool in spec:
+        for i, (cin, cout, pad, pool) in enumerate(spec, start=2):
             layers = [nn.Conv1d(cin, cout, 3, padding=pad),
                       nn.BatchNorm1d(cout), nn.ReLU()]
             if pool:
                 layers.append(nn.MaxPool1d(2, stride=2))
-            blocks.append(nn.Sequential(*layers))
-        self.blocks = nn.ModuleList(blocks)
+            setattr(self, f"conv{i}", nn.Sequential(*layers))
         self.fc = nn.Linear(32, num_class)
+
+    @property
+    def blocks(self):
+        return [getattr(self, f"conv{i}") for i in range(2, 9)]
 
     def forward(self, x):  # x: (B, F=32, T)
         x = self.conv1(x.unsqueeze(1)).squeeze(1)
@@ -113,30 +116,9 @@ class TorchAudioNet(nn.Module):
 
 
 def _params_from_torch(net: TorchAudioNet):
-    def a(t):
-        return t.detach().numpy()
-    c2d = net.conv1[0]
-    bn2d = net.conv1[1]
-    ws, bs, gs, bts, ms, vs = [], [], [], [], [], []
-    for blk in net.blocks:
-        conv, bn = blk[0], blk[1]
-        ws.append(jnp.asarray(a(conv.weight).transpose(2, 1, 0)))
-        bs.append(jnp.asarray(a(conv.bias)))
-        gs.append(jnp.asarray(a(bn.weight)))
-        bts.append(jnp.asarray(a(bn.bias)))
-        ms.append(jnp.asarray(a(bn.running_mean)))
-        vs.append(jnp.asarray(a(bn.running_var)))
-    params = an.AudioNetParams(
-        conv1_w=jnp.asarray(a(c2d.weight).transpose(2, 3, 1, 0)),
-        conv1_b=jnp.asarray(a(c2d.bias)),
-        conv1_gamma=jnp.asarray(a(bn2d.weight)),
-        conv1_beta=jnp.asarray(a(bn2d.bias)),
-        conv_w=tuple(ws), conv_b=tuple(bs), gamma=tuple(gs), beta=tuple(bts),
-        fc_w=jnp.asarray(a(net.fc.weight).T), fc_b=jnp.asarray(a(net.fc.bias)))
-    state = an.AudioNetState(jnp.asarray(a(bn2d.running_mean)),
-                             jnp.asarray(a(bn2d.running_var)),
-                             tuple(ms), tuple(vs))
-    return params, state
+    """Via the production torch-state converter (the reference state_dict
+    layout round-trips through it)."""
+    return an.load_audionet_from_torch_state(net.state_dict())
 
 
 def test_audionet_matches_torch(rng):
