@@ -131,7 +131,7 @@ class CW2(Attack):
         for step in range(self.binary_search_steps):
             key = jax.random.fold_in(rng, step)
             best_l2, best_score, (g_l2, g_score, g_x) = self._inner(
-                self.model.params, x, y, jnp.asarray(const, jnp.float32),
+                self.model.jit_params(), x, y, jnp.asarray(const, jnp.float32),
                 key)
             best_score = np.asarray(best_score)
             g_l2, g_score, g_x = (np.asarray(g_l2), np.asarray(g_score),

@@ -171,7 +171,7 @@ class FAKEBOB(Attack):
         thr = jnp.asarray(self.threshold if self.threshold is not None
                           else 0.0, jnp.float32)
         best_x, best_loss = self._run_cache["run"](
-            self.model.params, x, y, lower, upper, thr, rng)
+            self.model.jit_params(), x, y, lower, upper, thr, rng)
         success = (np.asarray(best_loss) < 0).tolist()
         return restore(best_x), success
 
@@ -216,7 +216,7 @@ class FAKEBOB(Attack):
                     break  # exceeded candidate without acceptance
                 key = jax.random.fold_in(rng, it)
                 adver_x, grad, loss = self._run_cache["step"](
-                    self.model.params, adver_x, y,
+                    self.model.jit_params(), adver_x, y,
                     jnp.asarray(threshold, jnp.float32), grad, lr, lower,
                     upper, key)
                 lv = float(loss[0])

@@ -117,7 +117,7 @@ class PGD(Attack):
                                     (self.max_iter + 1) * self.EOT_size
                                     ).reshape(self.max_iter + 1,
                                               self.EOT_size, 2)
-            adver_x, predict, loss = self._run(self.model.params, x0, y,
+            adver_x, predict, loss = self._run(self.model.jit_params(), x0, y,
                                                lower, upper, keys)
             success = self.compare(y, predict, self.targeted)
             rate = sum(success) / len(success)

@@ -75,7 +75,7 @@ class Kenan(Attack):
     def _attack_fft(self, x, y, rng):
         if self._fft_run is None:
             self._fft_run = jax.jit(self._make_fft_run())
-        best_x, succ = self._fft_run(self.model.params, x, y, rng)
+        best_x, succ = self._fft_run(self.model.jit_params(), x, y, rng)
         return best_x, np.asarray(succ).tolist()
 
     # ------------------------------------------------------------------

@@ -195,7 +195,7 @@ class SirenAttack(Attack):
                     axis=1)
 
             (pbest_locations, pbests, gbest_loc, gbests, gbest_pred,
-             active) = self._epoch_fn(self.model.params, x, y, lower, upper,
+             active) = self._epoch_fn(self.model.jit_params(), x, y, lower, upper,
                                       pbest_locations, pbests, gbest_loc,
                                       gbests, gbest_pred, active, ekey2)
 

@@ -46,7 +46,33 @@ def parse_args(argv=None):
     parser.add_argument("-step_size", type=float, default=0.0004)
     parser.add_argument("-max_iter", type=int, default=10)
     parser.add_argument("-ratio", type=float, default=0.5)
+    parser.add_argument("-evaluate_adver", action="store_true",
+                        default=False)
     return parser.parse_args(argv)
+
+
+def validate_adver(params, state, spk_ids, root, attack, wav_length=32000,
+                   max_utts=50):
+    """Adversarial validation (reference adver_train.py:85-101): attack
+    val utterances against the current params, report adversarial acc."""
+    from speakerguard_tpu.data.dataset import Spk251_test
+    from speakerguard_tpu.ops.logmel import audionet_logmel
+    from speakerguard_tpu.models.audionet import audionet_logits
+
+    val = Spk251_test(spk_ids, root, wav_length=wav_length)
+    right = total = 0
+    key = jax.random.PRNGKey(123)
+    for i, (wavs, labels) in enumerate(val.batches(8, drop_last=True)):
+        if total >= max_utts:
+            break
+        x = jnp.asarray(wavs[:, 0, :])
+        y = jnp.asarray(labels)
+        adv = attack(params, state, x, y, jax.random.fold_in(key, i))
+        logits, _, _ = audionet_logits(params, state, audionet_logmel(adv),
+                                       train=False)
+        right += int((jnp.argmax(logits, -1) == y).sum())
+        total += len(labels)
+    return right / max(total, 1)
 
 
 def main(args):
@@ -111,8 +137,11 @@ def main(args):
                         epoch)
         if args.evaluate_per_epoch > 0 and \
                 i_epoch % args.evaluate_per_epoch == 0:
-            print("Val Acc: %f" % validate(params, state, spk_ids,
-                                           args.root))
+            msg = "Val Acc: %f" % validate(params, state, spk_ids, args.root)
+            if args.evaluate_adver:
+                msg += ", Val Adver Acc: %f" % validate_adver(
+                    params, state, spk_ids, args.root, attack)
+            print(msg)
     save_checkpoint(ckpt_base, params, state, opt_state,
                     args.num_epoches + args.start_epoch)
 
