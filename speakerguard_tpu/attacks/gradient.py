@@ -53,36 +53,51 @@ class PGD(Attack):
             loss_name=loss, targeted=targeted, task=task,
             threshold=self.threshold, clip_max=False)
 
-        self._run = jax.jit(self._make_run())
+        self._run = self._make_run()
 
     def _make_run(self):
         step_size, grad_sign, max_iter = (self.step_size, self.grad_sign,
                                           self.max_iter)
         model = self.model
 
-        def run(params, x0, y, lower, upper, keys):
-            """params: model pytree (traced, NOT a baked-in constant);
-            keys: (max_iter + 1, EOT) PRNG keys."""
-            score_fn = lambda x, key: model.score(  # noqa: E731
-                x, rng=key, params=params)
+        def run(params, x, y, rng, do_init_noise):
+            """Everything (bounds, restart noise, key splitting, the
+            iteration scan, final eval) lives inside ONE jit — eager ops
+            outside jit cost ~50ms dispatch each on a tunneled device.
+            params: model pytree (traced for GB-scale models, None for
+            MB-scale where closure constants are faster)."""
+            score_fn = lambda xx, key: model.score(  # noqa: E731
+                xx, rng=key, params=params)
             eot_run = eot(score_fn, self.loss_fn, model.threshold,
                           self.EOT_batch_size)
             eot_ng = eot_no_grad(score_fn, self.loss_fn, model.threshold)
 
-            def body(x, keys_i):
-                scores, loss, grad, _ = eot_run(x, y, keys_i)
-                x = x + step_size * jnp.sign(grad) * grad_sign
-                x = jnp.clip(x, lower, upper)
-                return x, loss
+            lower, upper = self._bounds(x)
+            init_key, loop_key = jax.random.split(rng)
+            x0 = x
+            if do_init_noise:
+                x0 = jnp.clip(
+                    x + jax.random.uniform(init_key, x.shape, x.dtype,
+                                           -self.epsilon, self.epsilon),
+                    lower, upper)
+            keys = jax.random.split(
+                loop_key, (max_iter + 1) * self.EOT_size
+            ).reshape(max_iter + 1, self.EOT_size, 2)
 
-            x, losses = jax.lax.scan(body, x0, keys[:-1])
+            def body(xx, keys_i):
+                scores, loss, grad, _ = eot_run(xx, y, keys_i)
+                xx = xx + step_size * jnp.sign(grad) * grad_sign
+                xx = jnp.clip(xx, lower, upper)
+                return xx, loss
+
+            x_adv, losses = jax.lax.scan(body, x0, keys[:-1])
             # final no-grad evaluation with a single EOT repeat
             # (reference FGSM.py:44-47)
-            scores, loss, decisions = eot_ng(x, y, keys[-1:][:, 0])
+            scores, loss, decisions = eot_ng(x_adv, y, keys[-1:][:, 0])
             predict = majority_vote(decisions, scores.shape[-1])
-            return x, predict, loss
+            return x_adv, predict, loss
 
-        return run
+        return jax.jit(run, static_argnames=("do_init_noise",))
 
     def _bounds(self, x):
         lower = jnp.clip(x - self.epsilon, -1.0)
@@ -101,24 +116,12 @@ class PGD(Attack):
         return restore(adver), success
 
     def _attack_whole(self, x, y, rng):
-        lower, upper = self._bounds(x)
         n_restarts = max(1, self.num_random_init)
-        init_key, *loop_keys = jax.random.split(rng, n_restarts + 1)
-
         best = None
         for r in range(n_restarts):
-            x0 = x
-            if self.num_random_init > 0:
-                x0 = x + jax.random.uniform(
-                    jax.random.fold_in(init_key, r), x.shape, x.dtype,
-                    -self.epsilon, self.epsilon)
-                x0 = jnp.clip(x0, lower, upper)
-            keys = jax.random.split(loop_keys[r],
-                                    (self.max_iter + 1) * self.EOT_size
-                                    ).reshape(self.max_iter + 1,
-                                              self.EOT_size, 2)
-            adver_x, predict, loss = self._run(self.model.jit_params(), x0, y,
-                                               lower, upper, keys)
+            adver_x, predict, loss = self._run(
+                self.model.jit_params(), x, y, jax.random.fold_in(rng, r),
+                self.num_random_init > 0)
             success = self.compare(y, predict, self.targeted)
             rate = sum(success) / len(success)
             if best is None or rate > best[0]:
