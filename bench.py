@@ -42,7 +42,7 @@ def main():
         model = XvPlda(random_xv_plda_params(rng))
         enroll = jnp.asarray(
             rng.standard_normal((10, 150)).astype(np.float32))
-        default_batch = "64"
+        default_batch = "128"
     model.set_enrollment([str(i) for i in range(10)], enroll)
 
     batch = int(os.environ.get("BENCH_BATCH", default_batch))

@@ -16,11 +16,15 @@ from speakerguard_tpu.attacks.losses import majority_vote
 
 
 def nes_grad(eot_fn, x, y, *, samples_per_draw: int, sigma: float,
-             key, num_classes: int, eot_keys):
+             key, num_classes: int, eot_keys, samples_batch: int = None):
     """x: (B, L); y: (B,).  eot_fn = eot_no_grad(...) closure.
 
     Returns (mean_loss (B,), grad (B, L), adver_loss (B,), adver_score
     (B, S), predict (B,)) matching reference NES.forward's quintuple.
+
+    samples_batch: optional memory knob — evaluate the S+1 sample axis in
+    chunks of samples_batch*B model inputs (the reference's
+    samples_per_draw_batch_size, NES.py:17-18).
     """
     b, length = x.shape
     half = samples_per_draw // 2
@@ -32,9 +36,26 @@ def nes_grad(eot_fn, x, y, *, samples_per_draw: int, sigma: float,
     eval_x = (x[None] + sigma * noise).reshape(s1 * b, length)
     eval_y = jnp.tile(y[None], (s1, 1)).reshape(-1)
 
-    scores, loss, decisions = eot_fn(eval_x, eval_y, eot_keys)
-    scores = scores.reshape(s1, b, -1)
-    loss = loss.reshape(s1, b)
+    if samples_batch is not None and samples_batch < s1:
+        chunk = samples_batch
+        n_chunks = -(-s1 // chunk)
+        pad = n_chunks * chunk - s1
+        ex = jnp.pad(eval_x.reshape(s1, b, length),
+                     ((0, pad), (0, 0), (0, 0))).reshape(
+            n_chunks, chunk * b, length)
+        ey = jnp.pad(eval_y.reshape(s1, b), ((0, pad), (0, 0))).reshape(
+            n_chunks, chunk * b)
+        scores_c, loss_c, dec_c = jax.lax.map(
+            lambda args: eot_fn(args[0], args[1], eot_keys), (ex, ey))
+        scores = scores_c.reshape(n_chunks * chunk, b, -1)[:s1]
+        loss = loss_c.reshape(n_chunks * chunk, b)[:s1]
+        decisions = jnp.moveaxis(dec_c, 1, 0).reshape(
+            dec_c.shape[1], -1)[:, : s1 * b]
+        scores = scores.reshape(s1, b, -1)
+    else:
+        scores, loss, decisions = eot_fn(eval_x, eval_y, eot_keys)
+        scores = scores.reshape(s1, b, -1)
+        loss = loss.reshape(s1, b)
     # decisions: (E, S1*B) -> majority over EOT axis -> (S1, B)
     predict_all = majority_vote(decisions, num_classes).reshape(s1, b)
 

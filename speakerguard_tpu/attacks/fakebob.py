@@ -48,6 +48,7 @@ class FAKEBOB(Attack):
         self.max_lr = max_lr
         self.min_lr = min_lr
         self.samples_per_draw = samples_per_draw
+        self.samples_per_draw_batch_size = samples_per_draw_batch_size
         self.sigma = sigma
         self.momentum = momentum
         self.plateau_length = plateau_length
@@ -80,7 +81,8 @@ class FAKEBOB(Attack):
                        else 1)
         return nes_grad(eot_fn, x, y, samples_per_draw=self.samples_per_draw,
                         sigma=self.sigma, key=nkey, num_classes=num_classes,
-                        eot_keys=eot_keys)
+                        eot_keys=eot_keys,
+                        samples_batch=self.samples_per_draw_batch_size)
 
     def _make_run(self):
         momentum, plateau_length = self.momentum, self.plateau_length
