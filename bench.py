@@ -62,12 +62,16 @@ def main():
     jax.block_until_ready(adver)
 
     n_rep = 3
+    success = []
     t0 = time.perf_counter()
     for i in range(n_rep):
-        adver, _ = atk.attack(x, y, rng=jax.random.fold_in(key, i))
+        adver, success = atk.attack(x, y, rng=jax.random.fold_in(key, i))
         jax.block_until_ready(adver)
     dt = (time.perf_counter() - t0) / n_rep
     utts_per_sec = batch / dt
+    # attack success rate: a perf win that silently breaks gradients (sign
+    # flip etc.) must not look like a win
+    asr = round(100.0 * sum(success) / len(success), 1)
 
     baseline = None
     baseline_file = (f"bench_baseline_{model_kind}.json"
@@ -88,7 +92,25 @@ def main():
         "value": round(utts_per_sec, 3),
         "unit": "utterances/sec",
         "vs_baseline": round(utts_per_sec / baseline, 2),
+        "attack_success_rate_pct": asr,
+        "batch": batch,
     }))
+
+    if os.environ.get("BENCH_SWEEP"):
+        # batch-size sweep on the same compiled attack family: shows where
+        # throughput knees instead of a single point
+        for b in (int(s) for s in os.environ["BENCH_SWEEP"].split(",")):
+            xb = jnp.asarray(
+                (rng.uniform(-0.3, 0.3, (b, wav_len))).astype(np.float32))
+            yb = jnp.asarray(rng.integers(0, 10, b))
+            adver, _ = atk.attack(xb, yb, rng=key)  # compile
+            jax.block_until_ready(adver)
+            t0 = time.perf_counter()
+            adver, _ = atk.attack(xb, yb, rng=jax.random.fold_in(key, 99))
+            jax.block_until_ready(adver)
+            dt = time.perf_counter() - t0
+            print(json.dumps({"sweep_batch": b,
+                              "utts_per_sec": round(b / dt, 3)}))
 
 
 if __name__ == "__main__":
