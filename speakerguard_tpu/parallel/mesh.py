@@ -14,8 +14,9 @@ equivalent of the reference's in-Python EOT/NES averaging loops).  No
 point-to-point communication is ever needed.
 
 Multi-host: processes feed per-host shards via
-jax.make_array_from_process_local_data; DCN carries only the input
-pipeline.
+jax.make_array_from_process_local_data — implemented in
+speakerguard_tpu.parallel.input (host_sharded_batches); DCN carries only
+the input pipeline.
 """
 
 from functools import partial
