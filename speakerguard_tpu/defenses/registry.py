@@ -17,6 +17,7 @@ INPUT_TRANSFORMATIONS = [
     "QT", "BDR", "AT", "AS", "MS",                            # time domain
     "DS", "LPF", "BPF",                                       # freq domain
     "OPUS", "SPEEX", "AMR", "AAC_V", "AAC_C", "MP3_V", "MP3_C",  # codecs
+    "MULAW", "ADPCM",   # ffmpeg-free on-device codecs (extension)
     "FEATURE_COMPRESSION", "FeCo",                            # feature level
 ]
 

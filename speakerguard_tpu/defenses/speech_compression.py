@@ -155,4 +155,94 @@ def AMR(audio, param=6600, fs=16000, rng=None, n_jobs=10):
 
 # defaults per reference speech_compression.py:139-201
 DEFAULT_PARAMS = {"OPUS": 16000, "SPEEX": 43200, "AMR": 6600, "AAC_V": 5,
-                  "AAC_C": 20000, "MP3_V": 9, "MP3_C": 16000}
+                  "AAC_C": 20000, "MP3_V": 9, "MP3_C": 16000,
+                  "MULAW": 255, "ADPCM": 4}
+
+
+# ---------------------------------------------------------------------------
+# ffmpeg-free compression codecs, on-device (extensions beyond the reference)
+# ---------------------------------------------------------------------------
+# The 7 reference codecs need an ffmpeg build with non-free encoders; these
+# two classic speech codecs run entirely on the TPU so a compression defense
+# is always available: µ-law companding (G.711) is elementwise, IMA ADPCM
+# (DVI4) is a lax.scan over time.  Quantization is non-differentiable, so
+# both are BPDA-wrapped (straight-through), like the ffmpeg codecs.
+
+def _to_scale(audio):
+    """Branch-free domain detection, same heuristic as _compression_host."""
+    big = jnp.logical_or(jnp.max(audio) > 2.0, jnp.min(audio) < -2.0)
+    factor = jnp.where(big, 1.0 / ABS_MAX, 1.0)
+    return audio * factor, jnp.where(big, ABS_MAX, 1.0)
+
+
+def _mulaw_nondiff(audio, mu):
+    x, restore = _to_scale(audio)
+    x = jnp.clip(x, -1.0, 1.0)
+    y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / jnp.log1p(mu)
+    # quantize the companded signal to (mu+1) levels (8-bit for mu=255)
+    q = jnp.round((y + 1.0) * 0.5 * mu) / mu * 2.0 - 1.0
+    dec = jnp.sign(q) * (jnp.power(1.0 + mu, jnp.abs(q)) - 1.0) / mu
+    return dec * restore
+
+
+# IMA ADPCM step-size table (DVI ADPCM specification)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.float32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.float32)
+
+
+def _adpcm_nondiff(audio, bits):
+    """IMA ADPCM encode+decode round-trip over the time axis via lax.scan.
+    audio: (B, L); bits=4 is the standard nibble coder."""
+    x, restore = _to_scale(audio)
+    x16 = jnp.clip(x * ABS_MAX, -ABS_MAX, ABS_MAX - 1.0)  # int16 domain
+    steps = jnp.asarray(_IMA_STEPS)
+    adj = jnp.asarray(_IMA_INDEX_ADJ)
+    mag_max = float(2 ** (bits - 1) - 1)  # 7 for 4-bit
+
+    def body(carry, sample):
+        pred, idx = carry                          # (B,), (B,)
+        step = steps[idx.astype(jnp.int32)]
+        diff = sample - pred
+        sign = diff < 0
+        mag = jnp.abs(diff)
+        # bit-serial magnitude coder; recon accumulates the decoder's vpdiff
+        # (canonical IMA: vpdiff = step>>3 + sum of taken step/2^k taps)
+        code = jnp.zeros_like(mag)
+        recon = jnp.zeros_like(mag)
+        rem = mag
+        s = step
+        for _ in range(bits - 1):
+            bit = rem >= s
+            code = code * 2 + bit
+            rem = jnp.where(bit, rem - s, rem)
+            recon = recon + bit * s
+            s = s / 2.0
+        code = jnp.minimum(code, mag_max)
+        recon = recon + s
+        recon = jnp.where(sign, -recon, recon)
+        pred = jnp.clip(pred + recon, -ABS_MAX, ABS_MAX - 1.0)
+        idx = jnp.clip(idx + adj[jnp.minimum(code, 7.0).astype(jnp.int32)],
+                       0, len(_IMA_STEPS) - 1)
+        return (pred, idx), pred
+
+    b = x16.shape[0]
+    init = (jnp.zeros((b,), x16.dtype), jnp.zeros((b,), jnp.float32))
+    _, decoded = jax.lax.scan(body, init, jnp.moveaxis(x16, -1, 0))
+    return jnp.moveaxis(decoded, 0, -1) / ABS_MAX * restore
+
+
+def MULAW(audio, param=255, fs=16000, rng=None, n_jobs=None):
+    """µ-law (G.711) compand -> quantize -> expand, fully on device."""
+    return bpda(lambda a: _mulaw_nondiff(a, float(param)))(audio)
+
+
+def ADPCM(audio, param=4, fs=16000, rng=None, n_jobs=None):
+    """IMA ADPCM round-trip (param = bits per sample), fully on device."""
+    return bpda(lambda a: _adpcm_nondiff(a, int(param)))(audio)
