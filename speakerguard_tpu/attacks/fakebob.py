@@ -198,11 +198,15 @@ class FAKEBOB(Attack):
         if "step" not in self._run_cache:
             def one_step(params, adver_x, y, thr, prev_grad, lr, lo, hi,
                          key):
-                loss, g, _, _, _ = self._nes_step(adver_x, y, thr, key,
-                                                  params=params)
+                # nes_grad evaluates the unperturbed point for free, so the
+                # accept-decision and current max-score ride the same jitted
+                # call — no eager make_decision dispatch per iteration
+                loss, g, _, adver_score, predict = self._nes_step(
+                    adver_x, y, thr, key, params=params)
                 g = self.momentum * prev_grad + (1.0 - self.momentum) * g
                 nx = adver_x + self.grad_sign * lr * jnp.sign(g)
-                return jnp.clip(nx, lo, hi), g, loss
+                return (jnp.clip(nx, lo, hi), g, loss, predict[0],
+                        jnp.max(adver_score[0]))
             self._run_cache["step"] = jax.jit(one_step)
 
         it = 0
@@ -210,17 +214,17 @@ class FAKEBOB(Attack):
             lr = self.max_lr
             ring = []
             while True:
-                d, s = self.model.make_decision(adver_x)
-                score = float(jnp.max(s[0]))
-                if int(d[0]) != -1:
+                key = jax.random.fold_in(rng, it)
+                new_x, new_grad, loss, d0, score = self._run_cache["step"](
+                    self.model.jit_params(), adver_x, y,
+                    jnp.asarray(threshold, jnp.float32), grad,
+                    jnp.asarray(lr, jnp.float32), lower, upper, key)
+                score = float(score)
+                if int(d0) != -1:
                     return score  # accepted: threshold found
                 if score >= threshold:
                     break  # exceeded candidate without acceptance
-                key = jax.random.fold_in(rng, it)
-                adver_x, grad, loss = self._run_cache["step"](
-                    self.model.jit_params(), adver_x, y,
-                    jnp.asarray(threshold, jnp.float32), grad, lr, lower,
-                    upper, key)
+                adver_x, grad = new_x, new_grad
                 lv = float(loss[0])
                 ring = (ring + [lv])[-self.plateau_length:]
                 if len(ring) == self.plateau_length and ring[-1] > ring[0]:
