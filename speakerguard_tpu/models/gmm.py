@@ -91,12 +91,82 @@ def _augment(feats: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.concatenate([feats, outer], axis=-1)
 
 
-def component_loglike(params: FullGMMParams, feats: jnp.ndarray,
-                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
-    """feats: (..., T, D) -> per-component loglike (..., T, C)."""
+def _loglike_jnp(params: FullGMMParams, feats: jnp.ndarray,
+                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     aug = _augment(feats, params.dim)
     return jnp.matmul(aug, params.quad_proj,
                       precision=precision) + params.gconsts
+
+
+# ---------------------------------------------------------------------------
+# Pallas fast path: fused kernel forward + closed-form analytic backward
+# ---------------------------------------------------------------------------
+# The fused kernel (ops/pallas_gmm.py) builds each T-tile's augmented
+# features in VMEM instead of materializing the (B, T, D + D(D+1)/2) tensor
+# in HBM.  The backward avoids the same round-trip analytically:
+#
+#   d loglike[t,c] / d x_t = mic_c - InvCov_c x_t
+#   grad_x = gbar @ mic - einsum('tc,cde->tde', gbar, InvCov) @ x
+#
+# Enabled on TPU by default; SG_GMM_PALLAS=0 forces the jnp path, =1 forces
+# the kernel (interpret mode off-TPU, for tests).
+
+def _pallas_mode() -> str:
+    import os
+    return os.environ.get("SG_GMM_PALLAS", "auto")
+
+
+def _use_pallas() -> bool:
+    mode = _pallas_mode()
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+@jax.custom_vjp
+def _loglike_fused(quad_proj, gconsts, mic, invcov, feats):
+    from speakerguard_tpu.ops.pallas_gmm import fused_loglike_batch
+    interpret = jax.default_backend() != "tpu"
+    return fused_loglike_batch(feats, quad_proj, gconsts,
+                               interpret=interpret)
+
+
+def _loglike_fused_fwd(quad_proj, gconsts, mic, invcov, feats):
+    out = _loglike_fused(quad_proj, gconsts, mic, invcov, feats)
+    return out, (mic, invcov, feats)
+
+
+def _loglike_fused_bwd(res, gbar):
+    mic, invcov, feats = res
+    hi = jax.lax.Precision.HIGHEST
+    lin = jnp.einsum("btc,cd->btd", gbar, mic, precision=hi)
+    w = jnp.einsum("btc,cde->btde", gbar, invcov, precision=hi)
+    quad = jnp.einsum("btde,bte->btd", w, feats, precision=hi)
+    # attacks differentiate wrt feats only; the zero param cotangents are
+    # dead code XLA eliminates
+    c, d = mic.shape
+    f_aug = d + d * (d + 1) // 2
+    return (jnp.zeros((f_aug, c), gbar.dtype), jnp.zeros((c,), gbar.dtype),
+            jnp.zeros_like(mic), jnp.zeros_like(invcov), lin - quad)
+
+
+_loglike_fused.defvjp(_loglike_fused_fwd, _loglike_fused_bwd)
+
+
+def component_loglike(params: FullGMMParams, feats: jnp.ndarray,
+                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """feats: (..., T, D) -> per-component loglike (..., T, C).
+
+    Dispatches to the fused Pallas kernel on TPU (see _use_pallas); the
+    packed-matmul jnp path is the fallback and the numerics oracle.
+    """
+    if _use_pallas() and feats.ndim == 3:
+        return _loglike_fused(params.quad_proj, params.gconsts,
+                              params.means_invcovars, params.invcovars,
+                              feats)
+    return _loglike_jnp(params, feats, precision=precision)
 
 
 def posteriors(params: FullGMMParams, feats: jnp.ndarray) -> jnp.ndarray:

@@ -29,3 +29,45 @@ def test_fused_loglike_ragged_tiles(rng):
         feats, params.quad_proj, params.gconsts, t_tile=32, c_tile=128,
         interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_dispatch_and_analytic_grad(rng, monkeypatch):
+    """SG_GMM_PALLAS=1 routes component_loglike through the fused kernel
+    (interpret off-TPU); value AND input-gradient must match the jnp path."""
+    import jax
+
+    params = G.random_gmm(rng, 130, 10)
+    feats = jnp.asarray(rng.standard_normal((2, 37, 10)).astype(np.float32))
+
+    def loss(f, mode):
+        monkeypatch.setenv("SG_GMM_PALLAS", mode)
+        ll = G.component_loglike(params, f)
+        return jnp.sum(jax.nn.softmax(ll, axis=-1)[..., :3])
+
+    monkeypatch.setenv("SG_GMM_PALLAS", "1")
+    got = np.asarray(G.component_loglike(params, feats))
+    g_got = np.asarray(jax.grad(lambda f: loss(f, "1"))(feats))
+    monkeypatch.setenv("SG_GMM_PALLAS", "0")
+    want = np.asarray(G.component_loglike(params, feats))
+    g_want = np.asarray(jax.grad(lambda f: loss(f, "0"))(feats))
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(g_got, g_want, rtol=1e-3, atol=1e-5)
+
+
+def test_iv_plda_forward_parity_under_pallas(rng, monkeypatch):
+    """End-to-end: the iv-PLDA scores are invariant to the GMM backend."""
+    from speakerguard_tpu.models.iv_plda import IvPlda, random_iv_plda_params
+
+    params = random_iv_plda_params(rng)
+    model = IvPlda(params)
+    enroll = jnp.asarray(rng.standard_normal((3, 200)).astype(np.float32))
+    model.set_enrollment(["a", "b", "c"], enroll)
+    wavs = jnp.asarray(
+        (rng.uniform(-0.3, 0.3, (2, 8000)) * 32768).astype(np.float32))
+
+    monkeypatch.setenv("SG_GMM_PALLAS", "0")
+    want = np.asarray(model.score(wavs))
+    monkeypatch.setenv("SG_GMM_PALLAS", "1")
+    got = np.asarray(model.score(wavs))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
