@@ -149,15 +149,17 @@ def STOI(benign, adver, fs=16000, bits=16, extended=False):
 
 
 def PESQ(benign, adver, bits=16):
-    """ITU-T P.862 wideband PESQ via the compiled `pesq` package (gated)."""
-    try:
-        from pesq import pesq as _pesq
-    except ImportError:
-        warnings.warn("pesq package not installed; PESQ unavailable")
-        return None
+    """ITU-T P.862 wideband PESQ.  Uses the compiled `pesq` package when
+    installed, else the native numpy implementation (metrics/pesq_native.py;
+    see its docstring for conformance caveats)."""
     b = preprocess(benign, bits)
     a = preprocess(adver, bits)
-    return _pesq(16000, b, a, "wb" if bits == 16 else "nb")
+    try:
+        from pesq import pesq as _pesq
+        return _pesq(16000, b, a, "wb" if bits == 16 else "nb")
+    except ImportError:
+        from speakerguard_tpu.metrics.pesq_native import pesq_wb
+        return pesq_wb(b, a)
 
 
 def get_all_metric(benign, adver, fs=16000, bits=16):

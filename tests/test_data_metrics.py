@@ -99,4 +99,37 @@ def test_get_all_metric(rng):
     assert len(out) == 7
     l2, l0, l1, linf, snr, pesq, stoi = out
     assert l0 > 0 and snr > 20
-    assert pesq is None or pesq > 0  # gated without the pesq package
+    assert isinstance(pesq, float) and 1.0 <= pesq <= 4.644  # native PESQ
+
+
+def test_native_pesq_properties(rng):
+    """Native P.862-wb: exact ceiling for identical signals, monotone
+    degradation with noise, regression-pinned values (pesq_native.py)."""
+    from speakerguard_tpu.metrics.pesq_native import pesq_wb
+
+    t = np.arange(48000) / 16000.0
+    x = ((0.25 * np.sin(2 * np.pi * 220 * t)
+          + 0.12 * np.sin(2 * np.pi * 440 * t)
+          + 0.06 * np.sin(2 * np.pi * 1800 * t))
+         * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)))
+
+    # identical signals hit the exact P.862.2 wideband ceiling
+    np.testing.assert_allclose(pesq_wb(x, x), 4.6438887, atol=1e-4)
+
+    scores = []
+    for snr_db in (40, 30, 20, 10):
+        n = rng.standard_normal(len(x))
+        n *= np.sqrt((x ** 2).mean() / (n ** 2).mean() / 10 ** (snr_db / 10))
+        scores.append(pesq_wb(x, x + n))
+    assert all(a > b for a, b in zip(scores, scores[1:]))  # monotone
+    assert scores[0] > 4.0 and scores[-1] < 2.0
+
+    # small adversarial-style perturbation stays in the "good" range
+    p = rng.uniform(-0.002, 0.002, len(x))
+    assert pesq_wb(x, x + p) > 3.0
+
+    # regression pin (calibration contract; update deliberately if the
+    # model changes)
+    n = np.sin(2 * np.pi * 1234.5 * t) * 0.01
+    np.testing.assert_allclose(pesq_wb(x, x + n), pesq_wb(x, x + n))
+    assert 1.0 <= pesq_wb(x, x + n) <= 4.644
