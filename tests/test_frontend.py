@@ -29,7 +29,7 @@ def test_mfcc_matches_oracle(rng, cfg):
         want = oracle_mfcc_single(wavs[i].astype(np.float64),
                                   num_ceps=cfg.num_ceps)
         assert got[i].shape == want.shape
-        np.testing.assert_allclose(got[i], want, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-3)
 
 
 def test_mfcc_dither_changes_output(rng):
@@ -88,3 +88,58 @@ def test_slaney_banks_properties():
     assert (banks >= 0).all()
     # every filter has positive mass; slaney norm makes peak ~ 2/(width)
     assert (banks.sum(axis=1) > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# checked-in golden vectors (tests/golden/) — independent float64 authored
+# from the torchaudio.compliance.kaldi structure the reference runs
+# ---------------------------------------------------------------------------
+
+def _golden():
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "kaldi_frontend_golden.npz")
+    return np.load(path)
+
+
+def test_mfcc_matches_golden_broadband():
+    """Broadband input: the f32 frontend tracks the f64 golden tightly."""
+    g = _golden()
+    wav = jnp.asarray(g["noise_wav"])[None]
+    got24 = np.asarray(kaldi_mfcc(wav, IV_PLDA_MFCC))[0]
+    got30 = np.asarray(kaldi_mfcc(wav, XV_PLDA_MFCC))[0]
+    np.testing.assert_allclose(got24, g["noise_mfcc24"], rtol=1e-4,
+                               atol=1.5e-3)
+    np.testing.assert_allclose(got30, g["noise_mfcc30"], rtol=1e-4,
+                               atol=1.5e-3)
+
+
+@pytest.mark.parametrize("name", ["sweep", "voiced"])
+def test_mfcc_matches_golden_tonal(name):
+    """Tonal inputs drive off-harmonic mel bands toward zero power, where
+    log() is ill-conditioned under float32 arithmetic/constants — measured:
+    even an f64 jax pipeline with f32 filterbank constants deviates up to
+    0.38 from the all-f64 golden on these cells, and torchaudio's all-f32
+    pipeline has the same spread.  Assert the energy-relative RMS is tight
+    and the conditioning tail bounded."""
+    g = _golden()
+    wav = jnp.asarray(g[f"{name}_wav"])[None]
+    got = np.asarray(kaldi_mfcc(wav, IV_PLDA_MFCC))[0]
+    want = g[f"{name}_mfcc24"]
+    err = got - want
+    rel_rms = np.sqrt((err ** 2).mean()) / np.sqrt((want ** 2).mean())
+    assert rel_rms < 5e-3
+    assert np.abs(err).max() < 1.0
+
+
+def test_delta_cmvn_match_golden():
+    g = _golden()
+    for name in ("noise", "sweep", "voiced"):
+        d = np.asarray(add_delta(
+            jnp.asarray(g[f"{name}_mfcc24"].astype(np.float32))[None]))[0]
+        np.testing.assert_allclose(d, g[f"{name}_delta"], rtol=1e-4,
+                                   atol=1e-5)
+        c = np.asarray(sliding_cmvn(
+            jnp.asarray(g[f"{name}_delta"].astype(np.float32))[None]))[0]
+        np.testing.assert_allclose(c, g[f"{name}_cmvn"], rtol=1e-3,
+                                   atol=1e-5)
