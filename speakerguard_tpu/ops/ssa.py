@@ -2,12 +2,18 @@
 
 Re-design of reference attack/ssa_core.py: Hankel trajectory matrix + SVD +
 diagonal-averaging reconstruction.  The reference forces CPU for this
-(ssa_core.py:28); the SVD of a (window x N) trajectory matrix with window up
-to 3000 is equally hostile to the TPU's MXU, so this stays host-side numpy —
-the attack around it (binary search, model calls) runs on device.
+(ssa_core.py:28).  Measured on-chip (r2): jnp.linalg.svd of the trajectory
+matrix is 60-600x faster than host numpy f64 (1500x1501: 88 ms vs 2.4 s;
+3000x3001: 0.39 s vs 25 s) with top singular values agreeing to ~1e-4, so
+the DEFAULT path is on-device (ssa_device/inv_ssa_masked below, mask-based
+component selection so the binary search over `keep` shares one
+compilation).  The numpy implementations are kept as the float64 oracle and
+the SG_SSA_DEVICE=0 fallback.
 """
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 
 def ssa(x: np.ndarray, window: int):
@@ -40,3 +46,35 @@ def inv_ssa(pc: np.ndarray, v: np.ndarray, indices) -> np.ndarray:
 def ssa_compress(x: np.ndarray, keep: int, window: int) -> np.ndarray:
     pc, s, v = ssa(x, window)
     return inv_ssa(pc, v, np.arange(keep))
+
+
+# ---------------------------------------------------------------------------
+# on-device path
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def ssa_device(x: jnp.ndarray, window: int):
+    """x: (N,) float32 -> (pc (window, K), s, v (K, window)) on device."""
+    n = x.shape[-1]
+    k = n - window + 1
+    idx = np.arange(window)[:, None] + np.arange(k)[None, :]
+    traj = x[jnp.asarray(idx)]
+    u, s, vt = jnp.linalg.svd(traj, full_matrices=False)
+    return u * s[None, :], s, vt.T
+
+
+def inv_ssa_masked(pc: jnp.ndarray, v: jnp.ndarray, keep) -> jnp.ndarray:
+    """Reconstruct from the first `keep` components (traced scalar — the
+    binary search over keep shares ONE compilation) by diagonal averaging."""
+    window, ncomp = pc.shape
+    k = v.shape[0]
+    n = window + k - 1
+    mask = (jnp.arange(ncomp) < keep).astype(pc.dtype)
+    traj = (pc * mask[None, :]) @ v.T                      # (window, K)
+    idx = (np.arange(window)[:, None] + np.arange(k)[None, :]).ravel()
+    out = jnp.zeros(n, pc.dtype).at[jnp.asarray(idx)].add(traj.ravel())
+    counts = np.bincount(idx, minlength=n).astype(np.float32)
+    return out / jnp.asarray(counts)

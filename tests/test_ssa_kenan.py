@@ -74,3 +74,46 @@ def test_eot_reduces_gradient_variance(rng):
     var1 = g1.var(axis=0).mean()
     var8 = g8.var(axis=0).mean()
     assert var8 < var1 * 0.5  # ~8x reduction expected; allow slack
+
+
+def test_ssa_device_matches_host(rng):
+    """On-device SSA (f32 SVD + masked diagonal averaging) reconstructs the
+    same signal as the float64 host oracle."""
+    import jax.numpy as jnp
+    from speakerguard_tpu.ops.ssa import (ssa, inv_ssa, ssa_device,
+                                          inv_ssa_masked)
+
+    t = np.arange(2000) / 16000.0
+    x = (12000 * np.sin(2 * np.pi * 250 * t)
+         + 3000 * np.sin(2 * np.pi * 1300 * t)
+         + 500 * rng.standard_normal(len(t)))
+    window = 100
+    pc_h, _, v_h = ssa(x, window)
+    pc_d, _, v_d = ssa_device(jnp.asarray(x, jnp.float32), window)
+    for keep in (1, 4, 32, window):
+        want = inv_ssa(pc_h, v_h, np.arange(keep))
+        got = np.asarray(inv_ssa_masked(pc_d, v_d, keep))
+        # f32 SVD vs f64: compare relative to signal scale
+        err = np.abs(got - want).max() / np.abs(x).max()
+        assert err < 2e-3, (keep, err)
+
+
+def test_kenan_ssa_device_flag_parity(rng, monkeypatch):
+    """The ssa attack reaches the same success/decision trajectory with
+    device and host SSA backends."""
+    from test_attacks import ToyModel
+    from speakerguard_tpu.attacks.kenan import Kenan
+    import jax
+
+    m = ToyModel()
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (2, 2000)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, 2))
+    monkeypatch.setenv("SG_SSA_DEVICE", "1")
+    adv_d, succ_d = Kenan(m, atk_name="ssa", max_iter=6).attack(
+        x, y, rng=jax.random.PRNGKey(0))
+    monkeypatch.setenv("SG_SSA_DEVICE", "0")
+    adv_h, succ_h = Kenan(m, atk_name="ssa", max_iter=6).attack(
+        x, y, rng=jax.random.PRNGKey(0))
+    assert succ_d == succ_h
+    np.testing.assert_allclose(np.asarray(adv_d), np.asarray(adv_h),
+                               atol=2e-3)
