@@ -29,16 +29,39 @@ _GDRIVE_IDS = {
 }
 
 
+def download_dataset(name: str, dest_dir: str) -> str:
+    """Auto-download + untar a named dataset (reference Dataset.py:40-48).
+    Requires network; callers opt in (the Dataset constructor attempts it
+    only when SPEAKERGUARD_DOWNLOAD=1, since most deployments are airgapped
+    and prefer the actionable FileNotFoundError)."""
+    import tarfile
+    import urllib.request
+    if name not in _GDRIVE_IDS:
+        raise NotImplementedError(f"No download url for {name}")
+    url = (f"https://drive.google.com/uc?id={_GDRIVE_IDS[name]}"
+           f"&export=download")
+    os.makedirs(dest_dir, exist_ok=True)
+    tar_path = os.path.join(dest_dir, f"{name}.tar.gz")
+    urllib.request.urlretrieve(url, tar_path)
+    with tarfile.open(tar_path, "r:gz") as tf:
+        tf.extractall(dest_dir, filter="data")
+    return os.path.join(dest_dir, name)
+
+
 class Dataset:
 
     def __init__(self, spk_ids, root, name, normalize=False, bits=16,
                  return_file_name=False, wav_length=None, seed=0):
         self.spk_ids = list(spk_ids)
         self.root = os.path.join(root, name)
+        if not os.path.exists(self.root) and name in _GDRIVE_IDS \
+                and os.environ.get("SPEAKERGUARD_DOWNLOAD") == "1":
+            download_dataset(name, root)
         if not os.path.exists(self.root):
             hint = ""
             if name in _GDRIVE_IDS:
-                hint = (f"; download: gdown 'https://drive.google.com/uc?id="
+                hint = (f"; set SPEAKERGUARD_DOWNLOAD=1 to auto-download, or "
+                        f"run: gdown 'https://drive.google.com/uc?id="
                         f"{_GDRIVE_IDS[name]}&export=download' && "
                         f"tar -xzf {name}.tar.gz")
             raise FileNotFoundError(f"dataset {self.root} not found{hint}")

@@ -63,3 +63,38 @@ def test_dataset_native_path_matches(tmp_path, lib):
     # same scale domain (origin)
     assert np.abs(b1[0][0]).max() > 2
     assert np.abs(b2[0][0]).max() > 2
+
+
+def test_dataset_auto_download(tmp_path, monkeypatch, rng):
+    """SPEAKERGUARD_DOWNLOAD=1 fetches + untars a named dataset (urllib
+    mocked offline); default stays the actionable FileNotFoundError."""
+    import io
+    import tarfile
+    import urllib.request
+    from speakerguard_tpu.data import dataset as D
+
+    # build a tarball that extracts to Spk10_test/spk0/a.wav
+    src = tmp_path / "stage" / "Spk10_test" / "spk0"
+    src.mkdir(parents=True)
+    write_wav(str(src / "a.wav"),
+              (rng.standard_normal(4000) * 0.1).astype(np.float32))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        tf.add(str(tmp_path / "stage" / "Spk10_test"), arcname="Spk10_test")
+
+    def fake_retrieve(url, path):
+        assert "drive.google.com" in url
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    root = str(tmp_path / "data")
+
+    with pytest.raises(FileNotFoundError, match="SPEAKERGUARD_DOWNLOAD"):
+        D.Dataset(["spk0"], root, "Spk10_test")
+
+    monkeypatch.setenv("SPEAKERGUARD_DOWNLOAD", "1")
+    ds = D.Dataset(["spk0"], root, "Spk10_test")
+    assert len(ds) == 1
+    wav, label = ds[0]
+    assert label == 0 and wav.shape[0] == 1
