@@ -26,7 +26,8 @@ torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
 from speakerguard_tpu.models.xv_plda import XvPlda, random_xv_plda_params
-from speakerguard_tpu.ops.kaldi_mfcc import XV_PLDA_MFCC
+from speakerguard_tpu.ops.kaldi_mfcc import (XV_PLDA_MFCC,
+                                             IV_PLDA_MFCC)
 from speakerguard_tpu.attacks import PGD
 
 import dataclasses
@@ -218,6 +219,198 @@ def test_pgd_asr_parity(pair):
             grads.append(xb.grad)
         g = torch.stack(grads)
         x = torch.clamp(x + step * torch.sign(g), min=lower, max=upper)
+    decisions = np.asarray([
+        int(ref.score_one(torch.tensor(np.asarray(x[b]) * 32768.0)
+                          ).argmax()) for b in range(batch)])
+    success_torch = (decisions != labels).tolist()
+    assert success_torch == [bool(s) for s in success_jax]
+
+
+# ---------------------------------------------------------------------------
+# iv-PLDA parity (GMM-UBM -> i-vector -> LDA -> PLDA chain)
+# ---------------------------------------------------------------------------
+
+class _TorchIv:
+    """Reference-structured iv-PLDA forward in torch, weights injected from
+    the jax IvPldaParams pytree (reference model/iv_plda.py:380-443,
+    _iv_plda/gmm.py:120-171, ivector_extract.py:98-125)."""
+
+    def __init__(self, params, enroll):
+        def t(a):
+            return torch.tensor(np.asarray(a), dtype=torch.float32)
+
+        self.gconsts = t(params.fgmm.gconsts)
+        self.mic = t(params.fgmm.means_invcovars)         # (C, D)
+        self.invcov = t(params.fgmm.invcovars)            # (C, D, D)
+        self.m = t(params.extractor.extractor_matrix)     # (C, D, IV)
+        self.sigma_inv = t(params.extractor.sigma_inv)    # (C, D, D)
+        self.offset = float(params.extractor.offset)
+        self.emb_mean = t(params.emb_mean)
+        self.lda = t(params.transform_mat)
+        self.plda_mean = t(params.plda.mean)
+        self.plda_tr = t(params.plda.transform)
+        self.psi = t(params.plda.psi)
+        self.enroll = t(enroll)
+
+    def _delta(self, feat, window=3, order=2):
+        scales = [torch.tensor([1.0])]
+        for i in range(1, order + 1):
+            prev = scales[i - 1]
+            prev_off = (len(prev) - 1) // 2
+            cur = torch.zeros(len(prev) + 2 * window)
+            norm = 0.0
+            for j in range(-window, window + 1):
+                norm += j * j
+                for k in range(-prev_off, prev_off + 1):
+                    cur[j + k + prev_off + window] += j * prev[k + prev_off]
+            scales.append(cur / norm)
+        t_, f = feat.shape
+        outs = []
+        for sc in scales:
+            off = (len(sc) - 1) // 2
+            idx = torch.clamp(
+                torch.arange(t_)[:, None] + torch.arange(-off, off + 1),
+                0, t_ - 1)
+            outs.append((feat[idx] * sc[None, :, None]).sum(1))
+        return torch.cat(outs, dim=1)
+
+    def score_one(self, wav):  # (L,) origin domain, differentiable
+        feat = _torch_mfcc24(wav)
+        feat = self._delta(feat)
+        feat = _torch_cmvn(feat)
+        # full-cov GMM loglikes (reference gmm.py:120-131, un-chunked)
+        ll = (feat @ self.mic.T + self.gconsts
+              - 0.5 * torch.einsum("td,cde,te->tc", feat, self.invcov, feat))
+        post = torch.softmax(ll, dim=1)
+        zeroth = post.sum(0)                               # (C,)
+        first = post.T @ feat                              # (C, D)
+        # i-vector posterior system (reference ivector_extract.py:98-114)
+        proj = torch.einsum("cdi,cde->cie", self.m, self.sigma_inv)
+        quad = torch.einsum("cie,cej->cij", proj, self.m)
+        iv_dim = self.m.shape[2]
+        L = torch.eye(iv_dim) + (zeroth[:, None, None] * quad).sum(0)
+        linear = torch.einsum("cid,cd->i", proj, first)
+        linear = linear + self.offset * torch.eye(iv_dim)[0]
+        ivec = torch.linalg.solve(L, linear)
+        ivec = ivec - self.offset * torch.eye(iv_dim)[0]
+        # LDA -> length-norm -> PLDA (reference iv_plda.py:411-443)
+        x = ivec - self.emb_mean
+        x = self.lda[:, :-1] @ x + self.lda[:, -1]
+        x = x * (math.sqrt(x.shape[0]) / x.norm())
+        d = x.shape[0]
+        x = self.plda_tr @ (x - self.plda_mean)
+        x = x * torch.sqrt(d / ((1.0 / (self.psi + 1.0)) @ (x * x)))
+        mean = (self.psi / (self.psi + 1.0))[None, :] * self.enroll
+        var_g = 1.0 + self.psi / (self.psi + 1.0)
+        ll_g = -0.5 * (torch.log(var_g).sum() + math.log(2 * math.pi) * d
+                       + (((x[None] - mean) ** 2) / var_g).sum(1))
+        var_w = self.psi + 1.0
+        ll_w = -0.5 * (torch.log(var_w).sum() + math.log(2 * math.pi) * d
+                       + ((x ** 2) / var_w).sum())
+        return ll_g - ll_w
+
+
+def _torch_mfcc24(wav):
+    """Kaldi MFCC num_ceps=24 — same chain as _torch_mfcc30 with a 24-wide
+    DCT/lifter."""
+    sr, win, shift, nfft, nmel, nceps = 16000, 400, 160, 512, 30, 24
+    n = wav.shape[0]
+    t = (n + shift // 2) // shift
+    pad = win // 2 - shift // 2
+    idx = (torch.arange(t)[:, None] * shift - pad
+           + torch.arange(win)[None, :])
+    idx = torch.where(idx < 0, -idx - 1, idx)
+    idx = torch.where(idx >= n, 2 * n - 1 - idx, idx)
+    frames = wav[idx]
+    frames = frames - frames.mean(dim=1, keepdim=True)
+    eps = torch.finfo(torch.float32).eps
+    energy = torch.log(torch.clamp((frames ** 2).sum(1), min=eps))
+    frames = frames - 0.97 * torch.cat(
+        [frames[:, :1], frames[:, :-1]], dim=1)
+    i = torch.arange(win, dtype=torch.float64)
+    povey = ((0.5 - 0.5 * torch.cos(2 * math.pi * i / (win - 1))) ** 0.85
+             ).float()
+    frames = frames * povey
+    power = torch.fft.rfft(frames, n=nfft).abs() ** 2
+
+    def melscale(f):
+        return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    lo, hi = melscale(20.0), melscale(7600.0)
+    delta = (hi - lo) / (nmel + 1)
+    freqs = melscale(np.arange(nfft // 2) * sr / nfft)
+    banks = np.zeros((nmel, nfft // 2 + 1))
+    for b in range(nmel):
+        left, center, right = (lo + b * delta, lo + (b + 1) * delta,
+                               lo + (b + 2) * delta)
+        up = (freqs - left) / (center - left)
+        down = (right - freqs) / (right - center)
+        banks[b, :nfft // 2] = np.maximum(0.0, np.minimum(up, down))
+    mel = torch.log(torch.clamp(
+        power @ torch.tensor(banks, dtype=torch.float32).T, min=eps))
+    k = np.arange(nceps, dtype=np.float64)[:, None]
+    j = np.arange(nmel, dtype=np.float64)[None, :]
+    dct = np.sqrt(2.0 / nmel) * np.cos(np.pi / nmel * (j + 0.5) * k)
+    dct[0, :] = np.sqrt(1.0 / nmel)
+    feat = mel @ torch.tensor(dct, dtype=torch.float32).T
+    q = 22.0
+    lift = torch.tensor(
+        (1.0 + 0.5 * q * np.sin(np.pi * np.arange(nceps) / q)),
+        dtype=torch.float32)
+    feat = feat * lift
+    return torch.cat([energy[:, None], feat[:, 1:]], dim=1)
+
+
+@pytest.fixture(scope="module")
+def iv_pair():
+    from speakerguard_tpu.models.iv_plda import (IvPlda,
+                                                 random_iv_plda_params)
+    rng = np.random.default_rng(99)
+    params = random_iv_plda_params(rng, num_gaussians=64, dim=72,
+                                   ivector_dim=32, reduced_dim=16)
+    enroll = rng.standard_normal((5, 16)).astype(np.float32)
+    model = IvPlda(params, mfcc_config=dataclasses.replace(IV_PLDA_MFCC,
+                                                           dither=0.0))
+    model.set_enrollment([str(i) for i in range(5)], enroll)
+    return model, _TorchIv(params, enroll)
+
+
+def test_iv_plda_score_parity(iv_pair):
+    model, ref = iv_pair
+    rng = np.random.default_rng(17)
+    wavs = (rng.uniform(-0.25, 0.25, (3, 8000)) * 32768).astype(np.float32)
+    jax_scores = np.asarray(model.score(jnp.asarray(wavs)))
+    torch_scores = np.stack([
+        ref.score_one(torch.tensor(w)).detach().numpy() for w in wavs])
+    assert jax_scores.shape == torch_scores.shape == (3, 5)
+    np.testing.assert_allclose(jax_scores, torch_scores, rtol=1e-3,
+                               atol=5e-3)
+
+
+def test_iv_plda_pgd_asr_parity(iv_pair):
+    model, ref = iv_pair
+    rng = np.random.default_rng(23)
+    batch, wav_len, eps, step, iters = 4, 8000, 0.003, 0.0008, 8
+    wavs = rng.uniform(-0.25, 0.25, (batch, wav_len)).astype(np.float32)
+    labels = rng.integers(0, 5, batch)
+
+    atk = PGD(model, task="CSI", epsilon=eps, step_size=step,
+              max_iter=iters, loss="Entropy")
+    _, success_jax = atk.attack(jnp.asarray(wavs), jnp.asarray(labels))
+
+    x = torch.tensor(wavs)
+    lower = torch.clamp(x - eps, min=-1.0)
+    upper = torch.clamp(x + eps, max=1.0)
+    y = torch.tensor(labels, dtype=torch.long)
+    for _ in range(iters):
+        grads = []
+        for b in range(batch):
+            xb = (x[b] * 32768.0).detach().requires_grad_()
+            loss = F.cross_entropy(ref.score_one(xb)[None], y[b:b + 1])
+            loss.backward()
+            grads.append(xb.grad)
+        x = torch.clamp(x + step * torch.sign(torch.stack(grads)),
+                        min=lower, max=upper)
     decisions = np.asarray([
         int(ref.score_one(torch.tensor(np.asarray(x[b]) * 32768.0)
                           ).argmax()) for b in range(batch)])
