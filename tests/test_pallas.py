@@ -59,9 +59,12 @@ def test_iv_plda_forward_parity_under_pallas(rng, monkeypatch):
     """End-to-end: the iv-PLDA scores are invariant to the GMM backend."""
     from speakerguard_tpu.models.iv_plda import IvPlda, random_iv_plda_params
 
-    params = random_iv_plda_params(rng)
+    # small UBM: interpret-mode pallas on CPU is ~100x slower than
+    # compiled, full-size took 400+ s of suite time
+    params = random_iv_plda_params(rng, num_gaussians=128, dim=72,
+                                   ivector_dim=64, reduced_dim=32)
     model = IvPlda(params)
-    enroll = jnp.asarray(rng.standard_normal((3, 200)).astype(np.float32))
+    enroll = jnp.asarray(rng.standard_normal((3, 32)).astype(np.float32))
     model.set_enrollment(["a", "b", "c"], enroll)
     wavs = jnp.asarray(
         (rng.uniform(-0.3, 0.3, (2, 8000)) * 32768).astype(np.float32))
