@@ -416,3 +416,82 @@ def test_iv_plda_pgd_asr_parity(iv_pair):
                           ).argmax()) for b in range(batch)])
     success_torch = (decisions != labels).tolist()
     assert success_torch == [bool(s) for s in success_jax]
+
+
+# ---------------------------------------------------------------------------
+# AudioNet CSI-NE FGSM parity (BASELINE config 1)
+# ---------------------------------------------------------------------------
+
+def _torch_logmel(wav):
+    """Reference Preprocessor in torch (model/_audionet/Preprocessor.py:
+    48-112): preemph -> torch.stft (center, reflect, periodic hann) ->
+    power -> Slaney mel -> 10*log10.  Genuinely independent: uses
+    torch.stft, the reference's own op."""
+    from speakerguard_tpu.ops.logmel import slaney_mel_banks, AUDIONET_LOGMEL
+    x = wav[1:] - 0.97 * wav[:-1]
+    spec = torch.stft(x, n_fft=1024, hop_length=160, win_length=800,
+                      window=torch.hann_window(800, periodic=True),
+                      center=True, pad_mode="reflect", return_complex=True)
+    power = spec.real ** 2 + spec.imag ** 2        # (bins, T)
+    banks = torch.tensor(slaney_mel_banks(AUDIONET_LOGMEL))
+    mel = banks @ power                            # (n_mels, T)
+    return 10.0 * torch.log10(torch.clamp(mel, min=1e-16))
+
+
+@pytest.fixture(scope="module")
+def audionet_pair():
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_networks import TorchAudioNet
+    from speakerguard_tpu.models.audionet import (
+        AudioNet, load_audionet_from_torch_state)
+
+    torch.manual_seed(7)
+    net = TorchAudioNet(num_class=6).eval()
+    params, state = load_audionet_from_torch_state(net.state_dict())
+    model = AudioNet(params, state)
+    return model, net
+
+
+def test_audionet_score_parity(audionet_pair):
+    model, net = audionet_pair
+    rng = np.random.default_rng(31)
+    wavs = rng.uniform(-0.4, 0.4, (3, 8000)).astype(np.float32)
+    jax_scores = np.asarray(model.score(jnp.asarray(wavs)))
+    with torch.no_grad():
+        torch_scores = np.stack([
+            net(_torch_logmel(torch.tensor(w))[None]).numpy()[0]
+            for w in wavs])
+    np.testing.assert_allclose(jax_scores, torch_scores, rtol=1e-3,
+                               atol=2e-3)
+
+
+def test_audionet_fgsm_parity(audionet_pair):
+    """BASELINE config 1: FGSM on AudioNet CSI-NE — identical per-sample
+    success on both stacks (reference FGSM.py single step, global clip)."""
+    from speakerguard_tpu.attacks import FGSM
+
+    model, net = audionet_pair
+    rng = np.random.default_rng(37)
+    batch, wav_len, eps = 6, 8000, 0.002
+    wavs = rng.uniform(-0.4, 0.4, (batch, wav_len)).astype(np.float32)
+    labels = rng.integers(0, 6, batch)
+
+    atk = FGSM(model, task="CSI", epsilon=eps, loss="Entropy")
+    _, success_jax = atk.attack(jnp.asarray(wavs), jnp.asarray(labels))
+
+    x = torch.tensor(wavs)
+    y = torch.tensor(labels, dtype=torch.long)
+    grads = []
+    for b in range(batch):
+        xb = x[b].detach().requires_grad_()
+        loss = F.cross_entropy(net(_torch_logmel(xb)[None]), y[b:b + 1])
+        loss.backward()
+        grads.append(xb.grad)
+    adv = torch.clamp(x + eps * torch.sign(torch.stack(grads)), -1.0, 1.0)
+    with torch.no_grad():
+        decisions = np.asarray([
+            int(net(_torch_logmel(adv[b])[None]).argmax())
+            for b in range(batch)])
+    success_torch = (decisions != labels).tolist()
+    assert success_torch == [bool(s) for s in success_jax]
