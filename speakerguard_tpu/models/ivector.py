@@ -29,7 +29,7 @@ class IvectorExtractorParams(NamedTuple):
     extractor_matrix: jax.Array  # (C, D, IV)   Kaldi "M"
     sigma_inv: jax.Array         # (C, D, D)
     offset: jax.Array            # scalar prior offset
-    quad: jax.Array              # (C, IV, IV)
+    quad_packed: jax.Array       # (C, IV(IV+1)/2) upper-tri of T^T Sigma^-1 T
     proj: jax.Array              # (C, IV, D)
 
     @property
@@ -48,9 +48,14 @@ class IvectorExtractorParams(NamedTuple):
 def build_extractor(extractor_matrix: np.ndarray, sigma_inv: np.ndarray,
                     offset: float) -> IvectorExtractorParams:
     # the quad precompute is ~90 GFLOP at full size (C=2048, IV=600): run it
-    # on device (seconds of host numpy -> milliseconds of MXU)
+    # on device (seconds of host numpy -> milliseconds of MXU).  quad_c is
+    # symmetric, so only the packed upper triangle is stored — per-iteration
+    # HBM traffic on the (otherwise 2.95 GB at full size) tensor halves,
+    # and the math stays exact (see extract_ivectors).
     m = jnp.asarray(extractor_matrix, jnp.float32)
     s = jnp.asarray(sigma_inv, jnp.float32)
+    iv = m.shape[2]
+    rows, cols = np.triu_indices(iv)
 
     @jax.jit
     def _pre(m, s):
@@ -58,14 +63,14 @@ def build_extractor(extractor_matrix: np.ndarray, sigma_inv: np.ndarray,
                           precision=jax.lax.Precision.HIGHEST)
         quad = jnp.einsum("cie,cej->cij", proj, m,
                           precision=jax.lax.Precision.HIGHEST)
-        return proj, quad
+        return proj, quad[:, rows, cols]
 
-    proj, quad = _pre(m, s)
+    proj, quad_packed = _pre(m, s)
     return IvectorExtractorParams(
         extractor_matrix=m,
         sigma_inv=s,
         offset=jnp.asarray(offset, jnp.float32),
-        quad=quad,
+        quad_packed=quad_packed,
         proj=proj,
     )
 
@@ -108,6 +113,43 @@ def _spd_solve_bwd(res, g):
 spd_solve.defvjp(_spd_solve_fwd, _spd_solve_bwd)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _sym_unpack(iv: int):
+    """Packed upper-triangle (B, P) -> full symmetric (B, IV, IV).
+
+    Forward is one gather; the custom VJP makes the backward TWO gathers
+    (cot_packed = cot[r,c] + cot[c,r] off-diagonal) instead of autodiff's
+    scatter-add, which is pathologically slow on TPU."""
+    rows, cols = np.triu_indices(iv)
+    idx_full = np.zeros((iv, iv), np.int32)
+    p_arange = np.arange(len(rows), dtype=np.int32)
+    idx_full[rows, cols] = p_arange
+    idx_full[cols, rows] = p_arange
+    # NOTE: keep only numpy in this cache — jnp constants materialized here
+    # under an active trace would leak tracers across jit boundaries
+    idx_flat = idx_full.ravel()
+    offdiag = (rows != cols).astype(np.float32)
+
+    @jax.custom_vjp
+    def unpack(lp):
+        return jnp.take(lp, jnp.asarray(idx_flat), axis=1
+                        ).reshape(-1, iv, iv)
+
+    def fwd(lp):
+        return unpack(lp), None
+
+    def bwd(_, cot):
+        up = cot[:, jnp.asarray(rows), jnp.asarray(cols)]
+        lo = cot[:, jnp.asarray(cols), jnp.asarray(rows)]
+        return (up + lo * jnp.asarray(offdiag),)
+
+    unpack.defvjp(fwd, bwd)
+    return unpack
+
+
 def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
                      first: jnp.ndarray) -> jnp.ndarray:
     """zeroth: (B, C), first: (B, C, D) -> ivectors (B, IV).
@@ -115,9 +157,12 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
     Matches reference ivector_extract.py:98-114 (Extractivector), batched.
     """
     iv = params.ivector_dim
-    l_mat = jnp.einsum("bc,cij->bij", zeroth, params.quad,
-                       precision=jax.lax.Precision.HIGHEST)
-    l_mat = l_mat + jnp.eye(iv, dtype=l_mat.dtype)
+    # packed-symmetric accumulation: one (B, C) @ (C, IV(IV+1)/2) matmul
+    # reads half the bytes of the full (C, IV, IV) form; the full L is then
+    # a cheap gather-unpack of the (B, P) result
+    l_packed = jnp.einsum("bc,cp->bp", zeroth, params.quad_packed,
+                          precision=jax.lax.Precision.HIGHEST)
+    l_mat = _sym_unpack(iv)(l_packed) + jnp.eye(iv, dtype=l_packed.dtype)
     linear = jnp.einsum("cid,bcd->bi", params.proj, first,
                         precision=jax.lax.Precision.HIGHEST)
     linear = linear.at[:, 0].add(params.offset)
