@@ -162,6 +162,83 @@ def lifter_coeffs(cfg: MfccConfig) -> np.ndarray:
 # batched framing (snip_edges=False => symmetric edge padding)
 # ---------------------------------------------------------------------------
 
+def _frame_gather(wav, length, t, win, shift, pad):
+    idx = (np.arange(t) * shift - pad)[:, None] + np.arange(win)[None, :]
+    # symmetric reflection: -1 -> 0, -2 -> 1, L -> L-1, L+1 -> L-2
+    idx = np.where(idx < 0, -idx - 1, idx)
+    idx = np.where(idx >= length, 2 * length - 1 - idx, idx)
+    assert (idx >= 0).all() and (idx < length).all(), "wav too short to frame"
+    return jnp.take(wav, jnp.asarray(idx), axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _framer(length: int, t: int, win: int, shift: int, pad: int,
+            edge: str = "kaldi"):
+    """Framing with a scatter-free backward.
+
+    Autodiff of the framing gather is a scatter-add over the overlapping
+    (B, T, win) cotangent — pathologically slow on TPU.  The custom VJP
+    folds instead: tap chunks of width `shift` land on disjoint contiguous
+    target ranges per frame, so the fold is ceil(win/shift) reshape-adds in
+    "extended" coordinates, plus flip-adds for the two reflected edges.
+
+    edge="kaldi":   -1 -> 0,  L -> L-1  (edge sample duplicated)
+    edge="reflect": -1 -> 1,  L -> L-2  (true reflect, torch.stft center)
+    """
+    n_chunks = -(-win // shift)
+    ext = (t - 1) * shift + win  # extended coords: e = orig_idx + pad
+
+    def gather(wav):
+        idx = (np.arange(t) * shift - pad)[:, None] \
+            + np.arange(win)[None, :]
+        if edge == "kaldi":
+            idx = np.where(idx < 0, -idx - 1, idx)
+            idx = np.where(idx >= length, 2 * length - 1 - idx, idx)
+        else:
+            idx = np.abs(idx)
+            idx = np.where(idx >= length, 2 * (length - 1) - idx, idx)
+        assert (idx >= 0).all() and (idx < length).all(), \
+            "wav too short to frame"
+        return jnp.take(wav, jnp.asarray(idx), axis=1)
+
+    @jax.custom_vjp
+    def frame(wav):
+        return gather(wav)
+
+    def fwd(wav):
+        return frame(wav), None
+
+    def bwd(_, cot):
+        b = cot.shape[0]
+        g_ext = jnp.zeros((b, ext + shift), cot.dtype)  # slack for padding
+        for k1 in range(n_chunks):
+            w = min(shift, win - k1 * shift)
+            seg = cot[:, :, k1 * shift: k1 * shift + w]
+            if w < shift:
+                seg = jnp.pad(seg, ((0, 0), (0, 0), (0, shift - w)))
+            g_ext = g_ext.at[:, k1 * shift: k1 * shift + t * shift].add(
+                seg.reshape(b, t * shift))
+        g_ext = g_ext[:, :ext]
+        g = g_ext[:, pad: pad + length]
+        right = ext - pad - length
+        if edge == "kaldi":
+            if pad > 0:    # e in [0, pad) -> orig pad-1-e
+                g = g.at[:, :pad].add(g_ext[:, :pad][:, ::-1])
+            if right > 0:  # e in [pad+L, ext) -> orig L-1-(e-pad-L)
+                g = g.at[:, length - right:].add(
+                    g_ext[:, pad + length:][:, ::-1])
+        else:
+            if pad > 0:    # e in [0, pad) -> orig pad-e  (no index 0)
+                g = g.at[:, 1:pad + 1].add(g_ext[:, :pad][:, ::-1])
+            if right > 0:  # e in [pad+L, ext) -> orig L-2-(e-pad-L)
+                g = g.at[:, length - 1 - right: length - 1].add(
+                    g_ext[:, pad + length:][:, ::-1])
+        return (g,)
+
+    frame.defvjp(fwd, bwd)
+    return frame
+
+
 def frame_signal(wav: jnp.ndarray, cfg: MfccConfig) -> jnp.ndarray:
     """(B, L) -> (B, T, window_size) frames.
 
@@ -177,13 +254,7 @@ def frame_signal(wav: jnp.ndarray, cfg: MfccConfig) -> jnp.ndarray:
         idx = starts[:, None] + np.arange(win)[None, :]
         return jnp.take(wav, jnp.asarray(idx), axis=1)
     pad = win // 2 - shift // 2
-    # absolute sample index for (frame, tap), may be <0 or >=L
-    idx = (np.arange(t) * shift - pad)[:, None] + np.arange(win)[None, :]
-    # symmetric reflection: -1 -> 0, -2 -> 1, L -> L-1, L+1 -> L-2
-    idx = np.where(idx < 0, -idx - 1, idx)
-    idx = np.where(idx >= length, 2 * length - 1 - idx, idx)
-    assert (idx >= 0).all() and (idx < length).all(), "wav too short to frame"
-    return jnp.take(wav, jnp.asarray(idx), axis=1)
+    return _framer(length, t, win, shift, pad)(wav)
 
 
 # ---------------------------------------------------------------------------

@@ -101,14 +101,12 @@ def audionet_logmel(wav: jnp.ndarray, cfg: LogMelConfig = AUDIONET_LOGMEL
     b, length = x.shape
 
     half = cfg.n_fft // 2
-    # torch.stft center=True reflect padding (true reflect, edge excluded)
+    # torch.stft center=True reflect padding (true reflect, edge excluded);
+    # scatter-free overlap-add backward via the shared framer
+    from speakerguard_tpu.ops.kaldi_mfcc import _framer
     t = 1 + length // cfg.hop_length
-    idx = (np.arange(t) * cfg.hop_length - half)[:, None] + \
-        np.arange(cfg.n_fft)[None, :]
-    idx = np.abs(idx)  # reflect at 0: -k -> k
-    idx = np.where(idx >= length, 2 * (length - 1) - idx, idx)
-    assert (idx >= 0).all(), "input too short for reflect padding"
-    frames = jnp.take(x, jnp.asarray(idx), axis=1)       # (B, T, n_fft)
+    frames = _framer(length, t, cfg.n_fft, cfg.hop_length, half,
+                     edge="reflect")(x)                  # (B, T, n_fft)
     frames = frames * jnp.asarray(_stft_window(cfg))
 
     spec = jnp.fft.rfft(frames, axis=-1)

@@ -143,3 +143,46 @@ def test_delta_cmvn_match_golden():
             jnp.asarray(g[f"{name}_delta"].astype(np.float32))[None]))[0]
         np.testing.assert_allclose(c, g[f"{name}_cmvn"], rtol=1e-3,
                                    atol=1e-5)
+
+
+def test_frame_signal_custom_vjp_matches_autodiff(rng):
+    """The scatter-free overlap-add backward of frame_signal must equal
+    autodiff of the plain framing gather exactly (kaldi_mfcc._framer)."""
+    import jax
+    from speakerguard_tpu.ops import kaldi_mfcc as K
+
+    for length in (4000, 4321):
+        cfg = IV_PLDA_MFCC
+        x = jnp.asarray(rng.standard_normal((2, length)).astype(np.float32))
+        t = num_frames(length, cfg)
+        w = jnp.asarray(rng.standard_normal(
+            (t, cfg.window_size)).astype(np.float32))
+        pad = cfg.window_size // 2 - cfg.window_shift // 2
+        g_new = jax.grad(lambda xx: jnp.sum(K.frame_signal(xx, cfg) * w))(x)
+        g_ref = jax.grad(lambda xx: jnp.sum(K._frame_gather(
+            xx, length, t, cfg.window_size, cfg.window_shift, pad) * w))(x)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   atol=1e-5)
+
+
+def test_framer_reflect_edge_matches_autodiff(rng):
+    """Same for the logmel (torch.stft true-reflect) edge mode."""
+    import jax
+    from speakerguard_tpu.ops.kaldi_mfcc import _framer
+
+    L, win, shift = 4001, 1024, 160
+    t = 1 + L // shift
+    pad = win // 2
+    x = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((t, win)).astype(np.float32))
+    idx = (np.arange(t) * shift - pad)[:, None] + np.arange(win)[None, :]
+    idx = np.abs(idx)
+    idx = np.where(idx >= L, 2 * (L - 1) - idx, idx)
+    idxj = jnp.asarray(idx)
+    f_new = _framer(L, t, win, shift, pad, edge="reflect")
+    np.testing.assert_array_equal(np.asarray(f_new(x)),
+                                  np.asarray(jnp.take(x, idxj, axis=1)))
+    g_new = jax.grad(lambda xx: jnp.sum(f_new(xx) * w))(x)
+    g_ref = jax.grad(lambda xx: jnp.sum(jnp.take(xx, idxj, axis=1) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=2e-5)
