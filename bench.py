@@ -35,7 +35,7 @@ def main():
         model = IvPlda(random_iv_plda_params(rng))
         enroll = jnp.asarray(
             rng.standard_normal((10, 200)).astype(np.float32))
-        default_batch = "128"  # measured r2: 7.4/12.3/14.4 utts/s at 16/64/128
+        default_batch = "128"  # r2: 17.3 utts/s (7.4/12.3 at batch 16/64)
     else:
         from speakerguard_tpu.models.xv_plda import (
             XvPlda, random_xv_plda_params)

@@ -24,6 +24,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Per-iteration matmul precision for the GMM/i-vector hot path.  On TPU,
+# HIGHEST is ~6-pass bf16 emulation of f32; HIGH (3-pass) measured max rel
+# error ~1e-5 on the full-size loglike matmul — far inside the torch score
+# parity tolerance (tests/test_parity_torch.py, 5e-3) — at roughly half the
+# MXU passes.  Load-time precomputes stay HIGHEST.
+HOT_PRECISION = jax.lax.Precision.HIGH
+
 
 class FullGMMParams(NamedTuple):
     gconsts: jax.Array          # (C,)
@@ -92,7 +99,7 @@ def _augment(feats: jnp.ndarray, d: int) -> jnp.ndarray:
 
 
 def _loglike_jnp(params: FullGMMParams, feats: jnp.ndarray,
-                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                 precision=HOT_PRECISION) -> jnp.ndarray:
     aug = _augment(feats, params.dim)
     return jnp.matmul(aug, params.quad_proj,
                       precision=precision) + params.gconsts
@@ -140,7 +147,7 @@ def _loglike_fused_fwd(quad_proj, gconsts, mic, invcov, feats):
 
 def _loglike_fused_bwd(res, gbar):
     mic, invcov, feats = res
-    hi = jax.lax.Precision.HIGHEST
+    hi = HOT_PRECISION
     lin = jnp.einsum("btc,cd->btd", gbar, mic, precision=hi)
     w = jnp.einsum("btc,cde->btde", gbar, invcov, precision=hi)
     quad = jnp.einsum("btde,bte->btd", w, feats, precision=hi)
@@ -156,7 +163,7 @@ _loglike_fused.defvjp(_loglike_fused_fwd, _loglike_fused_bwd)
 
 
 def component_loglike(params: FullGMMParams, feats: jnp.ndarray,
-                      precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                      precision=HOT_PRECISION) -> jnp.ndarray:
     """feats: (..., T, D) -> per-component loglike (..., T, C).
 
     Dispatches to the fused Pallas kernel on TPU (see _use_pallas); the
@@ -182,5 +189,5 @@ def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray):
     posts = posteriors(params, feats)              # (B, T, C)
     zeroth = jnp.sum(posts, axis=-2)               # (B, C)
     first = jnp.einsum("btc,btd->bcd", posts, feats,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=HOT_PRECISION)
     return zeroth, first

@@ -160,11 +160,12 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
     # packed-symmetric accumulation: one (B, C) @ (C, IV(IV+1)/2) matmul
     # reads half the bytes of the full (C, IV, IV) form; the full L is then
     # a cheap gather-unpack of the (B, P) result
+    from speakerguard_tpu.models.gmm import HOT_PRECISION
     l_packed = jnp.einsum("bc,cp->bp", zeroth, params.quad_packed,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=HOT_PRECISION)
     l_mat = _sym_unpack(iv)(l_packed) + jnp.eye(iv, dtype=l_packed.dtype)
     linear = jnp.einsum("cid,bcd->bi", params.proj, first,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=HOT_PRECISION)
     linear = linear.at[:, 0].add(params.offset)
     # L is SPD by construction (I + sum of PSD terms): Cholesky solve with
     # an implicit-function-theorem VJP.  (Also essential on TPU: the

@@ -37,15 +37,26 @@ def delta_scales(window: int = 3, order: int = 2) -> list[np.ndarray]:
 @functools.partial(jax.jit, static_argnames=("window", "order"))
 def add_delta(feat: jnp.ndarray, window: int = 3, order: int = 2) -> jnp.ndarray:
     """feat: (B, T, F) -> (B, T, F*(order+1)).  Edges replicate (index clamp),
-    matching the reference's torch.clamp offset gather."""
+    matching the reference's torch.clamp offset gather.
+
+    Implemented as edge-padded static shifts + weighted sum: identical math
+    to the clamped gather, but the backward is pad/slice instead of a
+    scatter-add (slow on TPU)."""
     b, t, f = feat.shape
     scales = delta_scales(window, order)
     outs = []
-    base = np.arange(t)
     for s in scales:
         max_offset = (len(s) - 1) // 2
-        offs = np.arange(-max_offset, max_offset + 1)
-        idx = np.clip(base[:, None] + offs[None, :], 0, t - 1)  # (T, K)
-        gathered = jnp.take(feat, jnp.asarray(idx), axis=1)  # (B, T, K, F)
-        outs.append(jnp.einsum("btkf,k->btf", gathered, jnp.asarray(s)))
+        if max_offset == 0:
+            outs.append(feat * float(s[0]))
+            continue
+        fp = jnp.pad(feat, ((0, 0), (max_offset, max_offset), (0, 0)),
+                     mode="edge")
+        acc = None
+        for k, w in enumerate(s):
+            if w == 0.0:
+                continue
+            term = float(w) * jax.lax.dynamic_slice_in_dim(fp, k, t, axis=1)
+            acc = term if acc is None else acc + term
+        outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
