@@ -107,3 +107,33 @@ def test_enroll_then_threshold_then_attack(world, small_mfcc, capsys):
     test_attack.main(args)
     out = capsys.readouterr().out
     assert "Acc:" in out and "Untargeted Attack Success Rate:" in out
+
+
+def test_audionet_fgsm_cli(world, tmp_path, capsys):
+    """BASELINE config 1 through the CLI: FGSM on AudioNet CSI-NE with a
+    torch state-dict checkpoint + reference-format label encoder."""
+    tmpdir, paths, data_root = world
+    torch = pytest.importorskip("torch")
+    from test_networks import TorchAudioNet
+    from speakerguard_tpu.cli import attack_main
+
+    torch.manual_seed(3)
+    net = TorchAudioNet(num_class=3)
+    ckpt = str(tmp_path / "audionet.ckpt")
+    torch.save(net.state_dict(), ckpt)
+    enc = str(tmp_path / "label_enc.txt")
+    with open(enc, "w") as f:
+        for i in range(3):
+            f.write(f"'spk{i}' {i}\n")
+
+    des = str(tmp_path / "adver_an")
+    attack_main.main(attack_main.parse_args([
+        "-root", data_root, "-name", "Spk10_test", "-des", des,
+        "-batch_size", "2", "-wav_length", "8000", "-task", "CSI",
+        "audionet_csine", "-extractor", ckpt, "-label_encoder", enc,
+        "FGSM", "-epsilon", "0.01"]))
+    out = capsys.readouterr().out
+    assert "success rate" in out
+    import glob
+    assert len(glob.glob(os.path.join(des, "**", "*.wav"),
+                         recursive=True)) == 6
