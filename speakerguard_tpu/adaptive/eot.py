@@ -47,6 +47,12 @@ def eot(score_fn, loss_fn, threshold: float, eot_batch_size=None):
             decisions, _ = decide(scores, threshold)
             return scores, loss, grad, decisions
 
+        if keys.shape[0] == 1:
+            # no-vmap fast path: EOT(1) is the common case, and
+            # vmap-of-grad-of-rfft trips an XLA:CPU fft-thunk layout check
+            # under mesh sharding (dim0-major RET_CHECK)
+            scores, loss, grad, decisions = per_key(keys[0])
+            return scores, loss, grad, decisions[None]
         scores, loss, grad, decisions = _chunked(
             jax.vmap(per_key), keys, eot_batch_size)
         return (jnp.mean(scores, 0), jnp.mean(loss, 0), jnp.mean(grad, 0),

@@ -17,9 +17,32 @@ from speakerguard_tpu.attacks.losses import compare
 class Attack:
     targeted: bool = False
     batch_size: int = 1
+    mesh = None  # optional jax.sharding.Mesh: shard the batch over 'data'
 
     def attack(self, x, y, rng=None):
         raise NotImplementedError
+
+    def shard_inputs(self, x, y):
+        """When a mesh is set, lay out the attack batch sharded over the
+        mesh's 'data' axis (params stay replicated via replicate_params).
+        The attack computation is per-sample, so XLA runs it fully
+        data-parallel with no collectives — computation follows data."""
+        if self.mesh is None:
+            return x, y
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert x.shape[0] % self.mesh.shape["data"] == 0, (
+            f"batch {x.shape[0]} must divide over the "
+            f"{self.mesh.shape['data']}-way data axis")
+        x = jax.device_put(x, NamedSharding(self.mesh, P("data", None)))
+        y = jax.device_put(y, NamedSharding(self.mesh, P("data")))
+        return x, y
+
+    def replicate_params(self, params):
+        if self.mesh is None or params is None:
+            return params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(self.mesh, P())
+        return jax.tree.map(lambda a: jax.device_put(a, repl), params)
 
     def compare(self, y, y_pred, targeted):
         return np.asarray(compare(jnp.asarray(y), jnp.asarray(y_pred),

@@ -27,12 +27,16 @@ class PGD(Attack):
     def __init__(self, model, task="CSI", epsilon=0.002, step_size=0.0004,
                  max_iter=10, num_random_init=0, loss="Entropy",
                  targeted=False, batch_size=None, EOT_size=1,
-                 EOT_batch_size=1, verbose=0):
+                 EOT_batch_size=1, verbose=0, mesh=None):
         # batch_size: optional memory knob chunking the input like the
         # reference's attack() loops; None (default) = whole input in one
         # compiled batch (the TPU-right default; dataset-level batching
         # happens in the CLI loader)
+        # mesh: optional jax.sharding.Mesh with a 'data' axis — the attack
+        # batch shards across chips, params replicate, and the whole scan
+        # runs DP with zero collectives (per-sample math end to end)
         self.batch_size = batch_size
+        self.mesh = mesh
         self.model = model
         self.task = task
         self.epsilon = epsilon
@@ -116,11 +120,13 @@ class PGD(Attack):
         return restore(adver), success
 
     def _attack_whole(self, x, y, rng):
+        x, y = self.shard_inputs(x, y)
+        params = self.replicate_params(self.model.jit_params())
         n_restarts = max(1, self.num_random_init)
         best = None
         for r in range(n_restarts):
             adver_x, predict, loss = self._run(
-                self.model.jit_params(), x, y, jax.random.fold_in(rng, r),
+                params, x, y, jax.random.fold_in(rng, r),
                 self.num_random_init > 0)
             success = self.compare(y, predict, self.targeted)
             rate = sum(success) / len(success)
@@ -134,12 +140,12 @@ class FGSM(PGD):
 
     def __init__(self, model, task="CSI", epsilon=0.002, loss="Entropy",
                  targeted=False, batch_size=None, EOT_size=1,
-                 EOT_batch_size=1, verbose=0):
+                 EOT_batch_size=1, verbose=0, mesh=None):
         super().__init__(model, task=task, epsilon=epsilon,
                          step_size=epsilon, max_iter=1, num_random_init=0,
                          loss=loss, targeted=targeted, batch_size=batch_size,
                          EOT_size=EOT_size, EOT_batch_size=EOT_batch_size,
-                         verbose=verbose)
+                         verbose=verbose, mesh=mesh)
 
     def _bounds(self, x):
         # FGSM clips to the global audio range, not an epsilon ball
@@ -152,10 +158,10 @@ class CWinf(PGD):
     def __init__(self, model, task="CSI", epsilon=0.002, step_size=0.0004,
                  max_iter=10, num_random_init=0, loss="Margin",
                  targeted=False, batch_size=None, EOT_size=1,
-                 EOT_batch_size=1, verbose=0):
+                 EOT_batch_size=1, verbose=0, mesh=None):
         super().__init__(model, task=task, epsilon=epsilon,
                          step_size=step_size, max_iter=max_iter,
                          num_random_init=num_random_init, loss="Margin",
                          targeted=targeted, batch_size=batch_size,
                          EOT_size=EOT_size, EOT_batch_size=EOT_batch_size,
-                         verbose=verbose)
+                         verbose=verbose, mesh=mesh)

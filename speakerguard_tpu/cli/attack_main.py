@@ -46,6 +46,9 @@ def parse_args(argv=None):
     parser.add_argument("-start", type=int, default=0)
     parser.add_argument("-end", type=int, default=-1)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-n_devices", type=int, default=1,
+                        help="shard each attack batch over a 'data' mesh of"
+                             " this many chips (white-box attacks)")
 
     systems = add_system_subparsers(parser)
     for sp in systems:
@@ -117,6 +120,10 @@ def parse_args(argv=None):
 
 def make_attacker(args, model):
     common = dict(targeted=args.targeted, batch_size=args.batch_size)
+    if getattr(args, "n_devices", 1) > 1 and args.attacker in (
+            "FGSM", "PGD", "CWinf"):
+        from speakerguard_tpu.parallel.mesh import make_mesh
+        common["mesh"] = make_mesh(args.n_devices, axes=("data",))
     if args.attacker == "FGSM":
         return FGSM(model, task=args.task, epsilon=args.epsilon,
                     loss=args.loss, EOT_size=args.EOT_size, **common)

@@ -257,6 +257,44 @@ def frame_signal(wav: jnp.ndarray, cfg: MfccConfig) -> jnp.ndarray:
     return _framer(length, t, win, shift, pad)(wav)
 
 
+@functools.lru_cache(maxsize=None)
+def _rfft_power(win: int, n_fft: int):
+    """frames (..., win) -> power spectrum (..., n_fft//2+1) with an
+    FFT-free backward.
+
+    Forward is the XLA rfft (fast).  The backward of power-of-rfft is
+    normally an inverse FFT of the complex cotangent; expressed instead as
+    two real DFT matmuls (grad_f = 2[(cot*re) @ cos - (cot*im) @ sin]) it
+    (a) runs on the MXU, where TPU FFTs are slow, and (b) sidesteps an
+    XLA:CPU fft-thunk layout RET_CHECK that fires when the cotangent is
+    vmapped over an EOT axis on a sharded mesh."""
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[:, None]
+    j = np.arange(win, dtype=np.float64)[None, :]
+    ang = 2.0 * math.pi * k * j / n_fft
+    cos_kj = np.cos(ang).astype(np.float32)   # (K, win)
+    sin_kj = np.sin(ang).astype(np.float32)
+
+    @jax.custom_vjp
+    def rfft_power(frames):
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+        return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+    def fwd(frames):
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+        re, im = jnp.real(spec), jnp.imag(spec)
+        return re ** 2 + im ** 2, (re, im)
+
+    def bwd(res, cot):
+        re, im = res
+        # X_k = sum_j f_j (cos - i sin);  d|X_k|^2/df_j = 2(re_k c - im_k s)
+        a = (cot * re) @ jnp.asarray(cos_kj)     # (..., win)
+        b = (cot * im) @ jnp.asarray(sin_kj)
+        return (2.0 * (a - b),)
+
+    rfft_power.defvjp(fwd, bwd)
+    return rfft_power
+
+
 # ---------------------------------------------------------------------------
 # main entry
 # ---------------------------------------------------------------------------
@@ -293,9 +331,7 @@ def kaldi_mfcc(wav: jnp.ndarray, cfg: MfccConfig = IV_PLDA_MFCC,
         log_energy = jnp.log(
             jnp.maximum(jnp.sum(frames * frames, axis=-1), EPSILON))
 
-    n_fft = cfg.padded_window_size
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (B, T, n_fft//2+1)
+    power = _rfft_power(cfg.window_size, cfg.padded_window_size)(frames)
 
     # tiny matmuls; full f32 precision is required for Kaldi parity and free
     mel = jnp.matmul(power, jnp.asarray(mel_banks(cfg)).T,

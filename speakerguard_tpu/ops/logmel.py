@@ -109,8 +109,8 @@ def audionet_logmel(wav: jnp.ndarray, cfg: LogMelConfig = AUDIONET_LOGMEL
                      edge="reflect")(x)                  # (B, T, n_fft)
     frames = frames * jnp.asarray(_stft_window(cfg))
 
-    spec = jnp.fft.rfft(frames, axis=-1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2    # (B, T, bins)
+    from speakerguard_tpu.ops.kaldi_mfcc import _rfft_power
+    power = _rfft_power(cfg.n_fft, cfg.n_fft)(frames)    # (B, T, bins)
 
     mel = jnp.matmul(power, jnp.asarray(slaney_mel_banks(cfg)).T,
                      precision=jax.lax.Precision.HIGHEST)  # (B, T, n_mels)

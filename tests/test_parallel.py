@@ -173,3 +173,26 @@ def test_host_sharded_batches(rng, tmp_path):
                replicate(opt.init(params), mesh), wavs[:, 0, :], labels,
                jax.random.PRNGKey(0))
     assert np.isfinite(float(out[3]))
+
+
+def test_pgd_mesh_sharded_matches_single(rng):
+    """The mesh option on PGD shards the batch over 'data' with identical
+    results to the unsharded run (same keys, deterministic model)."""
+    from test_attacks import ToyModel
+    from speakerguard_tpu.attacks import PGD
+
+    m = ToyModel()
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 4000)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, 8))
+    key = jax.random.PRNGKey(3)
+
+    adv1, s1 = PGD(m, task="CSI", epsilon=0.002, step_size=0.0005,
+                   max_iter=4).attack(x, y, rng=key)
+    mesh = make_mesh(8, axes=("data",))
+    atk = PGD(m, task="CSI", epsilon=0.002, step_size=0.0005, max_iter=4,
+              mesh=mesh)
+    adv2, s2 = atk.attack(x, y, rng=key)
+    assert len(adv2.sharding.device_set) == 8
+    assert s1 == s2
+    np.testing.assert_allclose(np.asarray(adv1), np.asarray(adv2),
+                               atol=1e-6)
