@@ -274,14 +274,21 @@ def _rfft_power(win: int, n_fft: int):
     cos_kj = np.cos(ang).astype(np.float32)   # (K, win)
     sin_kj = np.sin(ang).astype(np.float32)
 
+    def _spectrum(frames):
+        # real DFT as two MXU matmuls (HIGHEST to keep Kaldi parity): TPU
+        # FFTs are emulated and slow; (win, K) matmuls are tiny for the MXU
+        hi = jax.lax.Precision.HIGHEST
+        re = jnp.matmul(frames, jnp.asarray(cos_kj).T, precision=hi)
+        im = -jnp.matmul(frames, jnp.asarray(sin_kj).T, precision=hi)
+        return re, im
+
     @jax.custom_vjp
     def rfft_power(frames):
-        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-        return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        re, im = _spectrum(frames)
+        return re ** 2 + im ** 2
 
     def fwd(frames):
-        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-        re, im = jnp.real(spec), jnp.imag(spec)
+        re, im = _spectrum(frames)
         return re ** 2 + im ** 2, (re, im)
 
     def bwd(res, cot):
