@@ -257,22 +257,44 @@ def frame_signal(wav: jnp.ndarray, cfg: MfccConfig) -> jnp.ndarray:
     return _framer(length, t, win, shift, pad)(wav)
 
 
-@functools.lru_cache(maxsize=None)
-def _rfft_power(win: int, n_fft: int):
-    """frames (..., win) -> power spectrum (..., n_fft//2+1) with an
-    FFT-free backward.
+# window registry for _rfft_power fusion: hashable key -> () -> np.ndarray
+_WINDOWS: dict = {}
 
-    Forward is the XLA rfft (fast).  The backward of power-of-rfft is
-    normally an inverse FFT of the complex cotangent; expressed instead as
-    two real DFT matmuls (grad_f = 2[(cot*re) @ cos - (cot*im) @ sin]) it
-    (a) runs on the MXU, where TPU FFTs are slow, and (b) sidesteps an
-    XLA:CPU fft-thunk layout RET_CHECK that fires when the cotangent is
-    vmapped over an EOT axis on a sharded mesh."""
+
+@functools.lru_cache(maxsize=None)
+def _rfft_power(win: int, n_fft: int, preemph: float = 0.0,
+                window_key=None):
+    """frames (..., win) -> power spectrum (..., n_fft//2+1), computed as
+    two real-DFT MXU matmuls in BOTH directions (TPU FFTs are emulated and
+    slow; measured: swapping the 512-pt rfft + irfft-backward for these
+    matmuls took PGD-100 xv-PLDA from 96.4 to 158.0 utts/s).  Also
+    sidesteps an XLA:CPU fft-thunk layout RET_CHECK that fires when the
+    cotangent is vmapped over an EOT axis on a sharded mesh.
+
+    When `preemph`/`window_key` are given, the (linear) preemphasis and
+    window multiply are FUSED into the DFT matrices at f64 precompute time:
+    M = DFT · diag(window) · P with P[j,j]=1, P[j,j-1]=-preemph (and
+    P[0,0] = 1-preemph for Kaldi's duplicated first sample) — two fewer
+    elementwise passes over the (B, T, win) frames in each direction.
+    window_key must be a hashable spec resolvable by _WINDOWS."""
     k = np.arange(n_fft // 2 + 1, dtype=np.float64)[:, None]
     j = np.arange(win, dtype=np.float64)[None, :]
     ang = 2.0 * math.pi * k * j / n_fft
-    cos_kj = np.cos(ang).astype(np.float32)   # (K, win)
-    sin_kj = np.sin(ang).astype(np.float32)
+    cos_kj = np.cos(ang)   # (K, win)
+    sin_kj = np.sin(ang)
+    if preemph or window_key is not None:
+        m = np.eye(win)
+        if preemph:
+            p = np.eye(win)
+            p[np.arange(1, win), np.arange(win - 1)] = -preemph
+            p[0, 0] = 1.0 - preemph
+            m = p
+        if window_key is not None:
+            m = np.diag(_WINDOWS[window_key]().astype(np.float64)) @ m
+        cos_kj = cos_kj @ m
+        sin_kj = sin_kj @ m
+    cos_kj = cos_kj.astype(np.float32)
+    sin_kj = sin_kj.astype(np.float32)
 
     def _spectrum(frames):
         # real DFT as two MXU matmuls (HIGHEST to keep Kaldi parity): TPU
@@ -327,18 +349,24 @@ def kaldi_mfcc(wav: jnp.ndarray, cfg: MfccConfig = IV_PLDA_MFCC,
         log_energy = jnp.log(
             jnp.maximum(jnp.sum(frames * frames, axis=-1), EPSILON))
 
-    if cfg.preemphasis_coefficient != 0.0:
-        first = frames[..., :1]
-        shifted = jnp.concatenate([first, frames[..., :-1]], axis=-1)
-        frames = frames - cfg.preemphasis_coefficient * shifted
-
-    frames = frames * jnp.asarray(feature_window(cfg))
-
-    if cfg.use_energy and not cfg.raw_energy:
+    if cfg.raw_energy or not cfg.use_energy:
+        # preemphasis + window are linear: fused into the DFT matrices
+        # (two fewer elementwise passes over (B, T, win) per direction)
+        key = ("kaldi", cfg.window_type, cfg.window_size, cfg.blackman_coeff)
+        _WINDOWS.setdefault(key, functools.partial(feature_window, cfg))
+        power = _rfft_power(cfg.window_size, cfg.padded_window_size,
+                            preemph=cfg.preemphasis_coefficient,
+                            window_key=key)(frames)
+    else:
+        # non-raw energy needs the windowed frames themselves
+        if cfg.preemphasis_coefficient != 0.0:
+            first = frames[..., :1]
+            shifted = jnp.concatenate([first, frames[..., :-1]], axis=-1)
+            frames = frames - cfg.preemphasis_coefficient * shifted
+        frames = frames * jnp.asarray(feature_window(cfg))
         log_energy = jnp.log(
             jnp.maximum(jnp.sum(frames * frames, axis=-1), EPSILON))
-
-    power = _rfft_power(cfg.window_size, cfg.padded_window_size)(frames)
+        power = _rfft_power(cfg.window_size, cfg.padded_window_size)(frames)
 
     # tiny matmuls; full f32 precision is required for Kaldi parity and free
     mel = jnp.matmul(power, jnp.asarray(mel_banks(cfg)).T,

@@ -107,10 +107,12 @@ def audionet_logmel(wav: jnp.ndarray, cfg: LogMelConfig = AUDIONET_LOGMEL
     t = 1 + length // cfg.hop_length
     frames = _framer(length, t, cfg.n_fft, cfg.hop_length, half,
                      edge="reflect")(x)                  # (B, T, n_fft)
-    frames = frames * jnp.asarray(_stft_window(cfg))
 
-    from speakerguard_tpu.ops.kaldi_mfcc import _rfft_power
-    power = _rfft_power(cfg.n_fft, cfg.n_fft)(frames)    # (B, T, bins)
+    from speakerguard_tpu.ops.kaldi_mfcc import _rfft_power, _WINDOWS
+    key = ("stft_hann", cfg.win_length, cfg.n_fft)
+    _WINDOWS.setdefault(key, lambda cfg=cfg: _stft_window(cfg))
+    power = _rfft_power(cfg.n_fft, cfg.n_fft,
+                        window_key=key)(frames)          # (B, T, bins)
 
     mel = jnp.matmul(power, jnp.asarray(slaney_mel_banks(cfg)).T,
                      precision=jax.lax.Precision.HIGHEST)  # (B, T, n_mels)
