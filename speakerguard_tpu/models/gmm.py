@@ -92,10 +92,58 @@ def random_gmm(rng: np.random.Generator, num_gaussians: int = 2048,
     return build_gmm(gconsts, weights, mic, invcov)
 
 
-def _augment(feats: jnp.ndarray, d: int) -> jnp.ndarray:
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _aug_ops(d: int):
+    """Augmentation aug(x) = [x, packed(x x^T)] with a scatter-free VJP.
+
+    Autodiff of the packed outer product x[rows]*x[cols] backpropagates
+    through two gathers — a scatter-add over the (B, T, P) cotangent on TPU.
+    The chain rule dx_r += dq_p x_c, dx_c += dq_p x_r is instead two tiny
+    (P, D) matmuls (one-hot row/col indicator matrices), which also halves
+    the GMM-loglike backward FLOPs vs the analytic per-frame
+    sum_c gbar_tc InvCov_c x_t form (no (B, T, D, D) materialization).
+
+    Returns (augment, chain) where chain(x, cot) is the VJP body (reused by
+    the fused-kernel backward).  numpy-only constants in this cache (jnp
+    constants materialized under an active trace would leak tracers).
+    """
     rows, cols = _packed_indices(d)
-    outer = feats[..., rows] * feats[..., cols]    # (..., D(D+1)/2)
-    return jnp.concatenate([feats, outer], axis=-1)
+    p = len(rows)
+    g_rows = np.zeros((p, d), np.float32)
+    g_rows[np.arange(p), rows] = 1.0
+    g_cols = np.zeros((p, d), np.float32)
+    g_cols[np.arange(p), cols] = 1.0
+
+    def chain(x, cot):
+        dlin = cot[..., :d]
+        dq = cot[..., d:]
+        dx = dlin
+        dx = dx + jnp.matmul(dq * x[..., jnp.asarray(cols)],
+                             jnp.asarray(g_rows), precision=HOT_PRECISION)
+        dx = dx + jnp.matmul(dq * x[..., jnp.asarray(rows)],
+                             jnp.asarray(g_cols), precision=HOT_PRECISION)
+        return dx
+
+    @jax.custom_vjp
+    def augment(x):
+        outer = x[..., jnp.asarray(rows)] * x[..., jnp.asarray(cols)]
+        return jnp.concatenate([x, outer], axis=-1)
+
+    def fwd(x):
+        return augment(x), x
+
+    def bwd(x, cot):
+        return (chain(x, cot),)
+
+    augment.defvjp(fwd, bwd)
+    return augment, chain
+
+
+def _augment(feats: jnp.ndarray, d: int) -> jnp.ndarray:
+    return _aug_ops(d)[0](feats)
 
 
 def _loglike_jnp(params: FullGMMParams, feats: jnp.ndarray,
@@ -110,10 +158,14 @@ def _loglike_jnp(params: FullGMMParams, feats: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # The fused kernel (ops/pallas_gmm.py) builds each T-tile's augmented
 # features in VMEM instead of materializing the (B, T, D + D(D+1)/2) tensor
-# in HBM.  The backward avoids the same round-trip analytically:
+# in HBM.  The backward goes through the packed-augmented representation:
 #
-#   d loglike[t,c] / d x_t = mic_c - InvCov_c x_t
-#   grad_x = gbar @ mic - einsum('tc,cde->tde', gbar, InvCov) @ x
+#   daug = gbar @ quad_proj^T          (one (B*T, C) x (C, F_aug) matmul)
+#   grad_x = chain rule through aug(x) (two tiny (P, D) indicator matmuls)
+#
+# which costs the same FLOPs as the forward.  (The per-frame analytic form
+# grad_x = gbar @ mic - einsum('tc,cde->tde', gbar, InvCov) @ x costs ~2x
+# the FLOPs and materializes a (B, T, D, D) tensor — measured slower.)
 #
 # Enabled on TPU by default; SG_GMM_PALLAS=0 forces the jnp path, =1 forces
 # the kernel (interpret mode off-TPU, for tests).
@@ -142,21 +194,21 @@ def _loglike_fused(quad_proj, gconsts, mic, invcov, feats):
 
 def _loglike_fused_fwd(quad_proj, gconsts, mic, invcov, feats):
     out = _loglike_fused(quad_proj, gconsts, mic, invcov, feats)
-    return out, (mic, invcov, feats)
+    return out, (quad_proj, feats)
 
 
 def _loglike_fused_bwd(res, gbar):
-    mic, invcov, feats = res
-    hi = HOT_PRECISION
-    lin = jnp.einsum("btc,cd->btd", gbar, mic, precision=hi)
-    w = jnp.einsum("btc,cde->btde", gbar, invcov, precision=hi)
-    quad = jnp.einsum("btde,bte->btd", w, feats, precision=hi)
+    quad_proj, feats = res
+    d = feats.shape[-1]
+    f_aug, c = quad_proj.shape
+    daug = jnp.einsum("btc,fc->btf", gbar, quad_proj,
+                      precision=HOT_PRECISION)
+    grad_x = _aug_ops(d)[1](feats, daug)
     # attacks differentiate wrt feats only; the zero param cotangents are
     # dead code XLA eliminates
-    c, d = mic.shape
-    f_aug = d + d * (d + 1) // 2
     return (jnp.zeros((f_aug, c), gbar.dtype), jnp.zeros((c,), gbar.dtype),
-            jnp.zeros_like(mic), jnp.zeros_like(invcov), lin - quad)
+            jnp.zeros((c, d), gbar.dtype), jnp.zeros((c, d, d), gbar.dtype),
+            grad_x)
 
 
 _loglike_fused.defvjp(_loglike_fused_fwd, _loglike_fused_bwd)

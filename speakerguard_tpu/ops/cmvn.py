@@ -49,6 +49,10 @@ def sliding_cmvn(feat: jnp.ndarray, cmn_window: int = 300,
     """feat: (B, T, F) -> mean-normalized (B, T, F)."""
     b, t, f = feat.shape
     starts, ends = window_bounds(t, cmn_window, center)
+    if (starts == 0).all() and (ends == t).all():
+        # every window covers the whole utterance (t <= cmn_window with
+        # center=True): global mean subtract, no cumsum/gather needed
+        return feat - jnp.mean(feat, axis=1, keepdims=True)
     csum = jnp.cumsum(feat, axis=1)
     csum = jnp.concatenate([jnp.zeros((b, 1, f), feat.dtype), csum], axis=1)
     win_sum = (jnp.take(csum, jnp.asarray(ends), axis=1)
