@@ -84,6 +84,41 @@ def random_extractor(rng: np.random.Generator, num_gaussians: int = 2048,
     return build_extractor(m, sigma_inv, 1.0)
 
 
+def _use_pallas_chol() -> bool:
+    import os
+    mode = os.environ.get("SG_CHOL_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _chol_factor(l_mat):
+    """Returns (factor, lower).  On TPU the batched Pallas kernel computes
+    the upper factor R (R^T R = L) — XLA's cholesky on (128, 600, 600)
+    lowers to a ~600-step While loop costing ~23 ms/call (see
+    ops/pallas_chol.py); the kernel does it VMEM-resident."""
+    if _use_pallas_chol():
+        from speakerguard_tpu.ops.pallas_chol import cholesky_rt
+        interpret = jax.default_backend() != "tpu"
+        return cholesky_rt(l_mat, interpret=interpret), False
+    return jnp.linalg.cholesky(l_mat), True
+
+
+def _chol_apply(factor, lower: bool, v):
+    """Solve A x = v given A's triangular factor (two triangular solves)."""
+    ts = jax.lax.linalg.triangular_solve
+    v = v[..., None]
+    if lower:   # A = C C^T
+        y = ts(factor, v, left_side=True, lower=True)
+        x = ts(factor, y, left_side=True, lower=True, transpose_a=True)
+    else:       # A = R^T R
+        y = ts(factor, v, left_side=True, lower=False, transpose_a=True)
+        x = ts(factor, y, left_side=True, lower=False)
+    return x[..., 0]
+
+
 @jax.custom_vjp
 def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Batched SPD solve x = L^-1 rhs via Cholesky.  l_mat: (B, N, N)
@@ -93,19 +128,21 @@ def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     factor (grad_rhs = L^-1 g; grad_L = -outer(grad_rhs, x)) instead of
     differentiating through the factorization — much cheaper to compile and
     run than autodiff of cholesky on TPU."""
-    chol = jnp.linalg.cholesky(l_mat)
-    return jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
+    factor, lower = _chol_factor(l_mat)
+    return _chol_apply(factor, lower, rhs)
 
 
 def _spd_solve_fwd(l_mat, rhs):
-    chol = jnp.linalg.cholesky(l_mat)
-    x = jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
-    return x, (chol, x)
+    factor, lower = _chol_factor(l_mat)
+    x = _chol_apply(factor, lower, rhs)
+    return x, (factor, x)
 
 
 def _spd_solve_bwd(res, g):
-    chol, x = res
-    u = jax.scipy.linalg.cho_solve((chol, True), g[..., None])[..., 0]
+    factor, x = res
+    # the factor's lower/upper-ness is a process-stable config, not a
+    # residual: recompute it the same way _chol_factor decided it
+    u = _chol_apply(factor, lower=not _use_pallas_chol(), v=g)
     grad_l = -jnp.einsum("bi,bj->bij", u, x)
     return grad_l, u
 

@@ -74,3 +74,50 @@ def test_iv_plda_forward_parity_under_pallas(rng, monkeypatch):
     monkeypatch.setenv("SG_GMM_PALLAS", "1")
     got = np.asarray(model.score(wavs))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# batched Cholesky kernel (ops/pallas_chol.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("b,n,nb,bt", [(3, 64, 32, 2), (5, 150, 32, 4),
+                                       (1, 300, 64, 2)])
+def test_pallas_cholesky_matches_lapack(rng, b, n, nb, bt):
+    from speakerguard_tpu.ops.pallas_chol import cholesky_rt
+    a = rng.standard_normal((b, n, n)).astype(np.float32) * 0.1
+    spd = np.einsum("bij,bkj->bik", a, a) \
+        + (n / 10.0) * np.eye(n, dtype=np.float32)
+    r = np.asarray(cholesky_rt(jnp.asarray(spd), nb=nb, b_tile=bt,
+                               interpret=True))
+    want = np.linalg.cholesky(spd.astype(np.float64)).transpose(0, 2, 1)
+    np.testing.assert_allclose(r, want, rtol=1e-4, atol=1e-4)
+    # the strictly-lower triangle must be exactly zero
+    assert np.abs(np.tril(r, -1)).max() == 0.0
+
+
+def test_spd_solve_pallas_path(rng, monkeypatch):
+    """spd_solve value + IFT gradient agree between the Pallas-chol and
+    XLA-chol configurations."""
+    import jax
+    from speakerguard_tpu.models.ivector import spd_solve
+
+    a = rng.standard_normal((4, 96, 96)).astype(np.float32) * 0.1
+    l_mat = jnp.asarray(np.einsum("bij,bkj->bik", a, a)
+                        + 5.0 * np.eye(96, dtype=np.float32))
+    rhs = jnp.asarray(rng.standard_normal((4, 96)).astype(np.float32))
+
+    def loss(l, r):
+        return jnp.sum(spd_solve(l, r) ** 2)
+
+    monkeypatch.setenv("SG_CHOL_PALLAS", "0")
+    want = np.asarray(spd_solve(l_mat, rhs))
+    gl_want, gr_want = jax.grad(loss, argnums=(0, 1))(l_mat, rhs)
+    monkeypatch.setenv("SG_CHOL_PALLAS", "1")
+    got = np.asarray(spd_solve(l_mat, rhs))
+    gl_got, gr_got = jax.grad(loss, argnums=(0, 1))(l_mat, rhs)
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gl_got), np.asarray(gl_want),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr_got), np.asarray(gr_want),
+                               rtol=1e-3, atol=1e-4)

@@ -107,6 +107,16 @@ def main():
     chol_fn = jax.jit(jnp.linalg.cholesky)
     timed("chol_only", chol_fn, [(d[0],) for d in data], reps)
 
+    if jax.default_backend() == "tpu":
+        from speakerguard_tpu.ops.pallas_chol import cholesky_rt
+        rp = np.asarray(jax.jit(cholesky_rt)(l0), np.float64)
+        want = np.linalg.cholesky(
+            np.asarray(l0, np.float64)).transpose(0, 2, 1)
+        print(f"pallas chol rel err {np.abs(rp - want).max() / np.abs(want).max():.2e}",
+              flush=True)
+        timed("pallas_chol", jax.jit(cholesky_rt),
+              [(d[0],) for d in data], reps)
+
     g_cur = jax.jit(jax.grad(
         lambda l_mat, rhs, w: jnp.sum(spd_solve(l_mat, rhs) * w)))
     timed("spd_solve g", g_cur, data, reps)
