@@ -48,7 +48,11 @@ def main():
         return jnp.sum(kaldi_mfcc(wav, XV_PLDA_MFCC) * w_feat)
 
     def upto_cmvn(wav, p):
-        return jnp.sum(sliding_cmvn(kaldi_mfcc(wav, XV_PLDA_MFCC)) * w_feat)
+        f = sliding_cmvn(kaldi_mfcc(wav, XV_PLDA_MFCC))
+        # t-varying weight: CMVN output sums to ~0 over t with a constant
+        # weight, collapsing the gradient
+        tw = jnp.arange(f.shape[1], dtype=f.dtype)[None, :, None]
+        return jnp.sum(f * w_feat * jnp.cos(tw))
 
     def upto_tdnn(wav, p):
         feats = sliding_cmvn(kaldi_mfcc(wav, XV_PLDA_MFCC))
@@ -60,7 +64,11 @@ def main():
         return jnp.sum(plda_mod.llr_scores(p.plda, enroll, emb,
                                            num_examples=1))
 
-    stages = [("mfcc", upto_mfcc), ("(+)cmvn", upto_cmvn),
+    def dispatch_floor(wav, p):
+        return jnp.sum(wav * wav) * 1e-6
+
+    stages = [("dispatch", dispatch_floor),
+              ("mfcc", upto_mfcc), ("(+)cmvn", upto_cmvn),
               ("(+)tdnn", upto_tdnn), ("(+)plda", full)]
 
     results = {}
