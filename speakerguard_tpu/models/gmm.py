@@ -29,7 +29,23 @@ import jax.numpy as jnp
 # error ~1e-5 on the full-size loglike matmul — far inside the torch score
 # parity tolerance (tests/test_parity_torch.py, 5e-3) — at roughly half the
 # MXU passes.  Load-time precomputes stay HIGHEST.
-HOT_PRECISION = jax.lax.Precision.HIGH
+# SG_GMM_PRECISION={highest,high,default} overrides (measurement knob;
+# default single-pass bf16 trades ~4e-3 rel err for fewer MXU passes).
+import os as _os
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+HOT_PRECISION = _PRECISIONS[_os.environ.get("SG_GMM_PRECISION", "high")]
+# Backward-only precision: gradients feed sign()-based attack steps, not
+# the parity-grade scores, so the cotangent matmuls default to single-pass
+# bf16 (measured: iv-PLDA PGD-100 24.6 -> ~30 utts/s with identical attack
+# success; forward score drift is zero by construction).  Set
+# SG_GMM_BWD_PRECISION=high to restore 3-pass gradients.
+BWD_PRECISION = _PRECISIONS[_os.environ.get("SG_GMM_BWD_PRECISION",
+                                            "default")]
 
 
 class FullGMMParams(NamedTuple):
@@ -117,14 +133,15 @@ def _aug_ops(d: int):
     g_cols = np.zeros((p, d), np.float32)
     g_cols[np.arange(p), cols] = 1.0
 
-    def chain(x, cot):
+    def chain(x, cot, precision=None):
+        precision = precision if precision is not None else HOT_PRECISION
         dlin = cot[..., :d]
         dq = cot[..., d:]
         dx = dlin
         dx = dx + jnp.matmul(dq * x[..., jnp.asarray(cols)],
-                             jnp.asarray(g_rows), precision=HOT_PRECISION)
+                             jnp.asarray(g_rows), precision=precision)
         dx = dx + jnp.matmul(dq * x[..., jnp.asarray(rows)],
-                             jnp.asarray(g_cols), precision=HOT_PRECISION)
+                             jnp.asarray(g_cols), precision=precision)
         return dx
 
     @jax.custom_vjp
@@ -167,8 +184,11 @@ def _loglike_jnp(params: FullGMMParams, feats: jnp.ndarray,
 # grad_x = gbar @ mic - einsum('tc,cde->tde', gbar, InvCov) @ x costs ~2x
 # the FLOPs and materializes a (B, T, D, D) tensor — measured slower.)
 #
-# Enabled on TPU by default; SG_GMM_PALLAS=0 forces the jnp path, =1 forces
-# the kernel (interpret mode off-TPU, for tests).
+# Measured on a v5e (batch 128, T=298): the kernel is 1.27x op-level over
+# the jnp path but NEUTRAL end-to-end, and its in-kernel dot is single-pass
+# bf16 (vs the jnp path's Precision.HIGH) — so the jnp path is the default
+# everywhere and the kernel stays available via SG_GMM_PALLAS=1
+# (interpret mode off-TPU, for tests).  SG_GMM_PALLAS=0 forces jnp.
 
 def _pallas_mode() -> str:
     import os
@@ -176,20 +196,19 @@ def _pallas_mode() -> str:
 
 
 def _use_pallas() -> bool:
-    mode = _pallas_mode()
-    if mode == "0":
-        return False
-    if mode == "1":
-        return True
-    return jax.default_backend() == "tpu"
+    return _pallas_mode() == "1"
 
 
 @jax.custom_vjp
 def _loglike_fused(quad_proj, gconsts, mic, invcov, feats):
-    from speakerguard_tpu.ops.pallas_gmm import fused_loglike_batch
-    interpret = jax.default_backend() != "tpu"
-    return fused_loglike_batch(feats, quad_proj, gconsts,
-                               interpret=interpret)
+    if _use_pallas():
+        from speakerguard_tpu.ops.pallas_gmm import fused_loglike_batch
+        interpret = jax.default_backend() != "tpu"
+        return fused_loglike_batch(feats, quad_proj, gconsts,
+                                   interpret=interpret)
+    d = feats.shape[-1]
+    return jnp.matmul(_augment(feats, d), quad_proj,
+                      precision=HOT_PRECISION) + gconsts
 
 
 def _loglike_fused_fwd(quad_proj, gconsts, mic, invcov, feats):
@@ -202,8 +221,8 @@ def _loglike_fused_bwd(res, gbar):
     d = feats.shape[-1]
     f_aug, c = quad_proj.shape
     daug = jnp.einsum("btc,fc->btf", gbar, quad_proj,
-                      precision=HOT_PRECISION)
-    grad_x = _aug_ops(d)[1](feats, daug)
+                      precision=BWD_PRECISION)
+    grad_x = _aug_ops(d)[1](feats, daug, precision=BWD_PRECISION)
     # attacks differentiate wrt feats only; the zero param cotangents are
     # dead code XLA eliminates
     return (jnp.zeros((f_aug, c), gbar.dtype), jnp.zeros((c,), gbar.dtype),
@@ -218,10 +237,12 @@ def component_loglike(params: FullGMMParams, feats: jnp.ndarray,
                       precision=HOT_PRECISION) -> jnp.ndarray:
     """feats: (..., T, D) -> per-component loglike (..., T, C).
 
-    Dispatches to the fused Pallas kernel on TPU (see _use_pallas); the
-    packed-matmul jnp path is the fallback and the numerics oracle.
+    (..., T, C) always routes through the custom-VJP wrapper so the
+    backward runs the packed form at BWD_PRECISION; the primal is the
+    HIGH-precision packed matmul (or the Pallas kernel under
+    SG_GMM_PALLAS=1 — see the note above _use_pallas).
     """
-    if _use_pallas() and feats.ndim == 3:
+    if feats.ndim == 3:
         return _loglike_fused(params.quad_proj, params.gconsts,
                               params.means_invcovars, params.invcovars,
                               feats)

@@ -187,6 +187,28 @@ def _sym_unpack(iv: int):
     return unpack
 
 
+@jax.custom_vjp
+def _quad_contract(zeroth, quad_packed):
+    from speakerguard_tpu.models.gmm import HOT_PRECISION
+    return jnp.einsum("bc,cp->bp", zeroth, quad_packed,
+                      precision=HOT_PRECISION)
+
+
+def _qc_fwd(zeroth, quad_packed):
+    return _quad_contract(zeroth, quad_packed), quad_packed
+
+
+def _qc_bwd(quad_packed, cot):
+    from speakerguard_tpu.models.gmm import BWD_PRECISION
+    gz = jnp.einsum("bp,cp->bc", cot, quad_packed,
+                    precision=BWD_PRECISION)
+    # params are never attack variables; the zero cotangent is DCE'd
+    return gz, jnp.zeros_like(quad_packed)
+
+
+_quad_contract.defvjp(_qc_fwd, _qc_bwd)
+
+
 def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
                      first: jnp.ndarray) -> jnp.ndarray:
     """zeroth: (B, C), first: (B, C, D) -> ivectors (B, IV).
@@ -196,10 +218,10 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
     iv = params.ivector_dim
     # packed-symmetric accumulation: one (B, C) @ (C, IV(IV+1)/2) matmul
     # reads half the bytes of the full (C, IV, IV) form; the full L is then
-    # a cheap gather-unpack of the (B, P) result
+    # a cheap gather-unpack of the (B, P) result.  Forward at HIGH (score
+    # parity); cotangent at BWD_PRECISION (gradients feed sign() steps).
     from speakerguard_tpu.models.gmm import HOT_PRECISION
-    l_packed = jnp.einsum("bc,cp->bp", zeroth, params.quad_packed,
-                          precision=HOT_PRECISION)
+    l_packed = _quad_contract(zeroth, params.quad_packed)
     l_mat = _sym_unpack(iv)(l_packed) + jnp.eye(iv, dtype=l_packed.dtype)
     linear = jnp.einsum("cid,bcd->bi", params.proj, first,
                         precision=HOT_PRECISION)
