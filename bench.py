@@ -48,13 +48,25 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     wav_len = int(os.environ.get("BENCH_WAV_LEN", "48000"))  # 3 s
     max_iter = int(os.environ.get("BENCH_PGD_ITERS", "100"))
+    attack_kind = os.environ.get("BENCH_ATTACK", "pgd")
 
     x = jnp.asarray(
         (rng.uniform(-0.3, 0.3, (batch, wav_len))).astype(np.float32))
     y = jnp.asarray(rng.integers(0, 10, batch))
 
-    atk = PGD(model, task="CSI", epsilon=0.002, step_size=0.0004,
-              max_iter=max_iter, loss="Entropy")
+    if attack_kind == "cw2":
+        # BENCH_CW2_ITERS x BENCH_CW2_BSS inner Adam iterations; early stop
+        # off so the measured iteration count is deterministic
+        from speakerguard_tpu.attacks import CW2
+        cw2_iters = int(os.environ.get("BENCH_CW2_ITERS", "200"))
+        cw2_bss = int(os.environ.get("BENCH_CW2_BSS", "3"))
+        max_iter = cw2_iters * cw2_bss
+        atk = CW2(model, task="CSI", max_iter=cw2_iters,
+                  binary_search_steps=cw2_bss, stop_early=False,
+                  initial_const=10.0)
+    else:
+        atk = PGD(model, task="CSI", epsilon=0.002, step_size=0.0004,
+                  max_iter=max_iter, loss="Entropy")
 
     # warmup/compile
     key = jax.random.PRNGKey(0)
@@ -88,7 +100,7 @@ def main():
     baseline = baseline * (100.0 / max_iter)
 
     print(json.dumps({
-        "metric": f"pgd{max_iter}_{model_kind}_utts_per_sec",
+        "metric": f"{attack_kind}{max_iter}_{model_kind}_utts_per_sec",
         "value": round(utts_per_sec, 3),
         "unit": "utterances/sec",
         "vs_baseline": round(utts_per_sec / baseline, 2),

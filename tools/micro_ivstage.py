@@ -88,17 +88,33 @@ def main():
     def extract(z, params, first, w_p, rhs):
         return jnp.sum(iv_mod.extract_ivectors(params, z, first) * w_iv)
 
+    # full-symmetric alternative: einsum over the (C, IV, IV) tensor (2x
+    # the HBM bytes, but no unpack gather at all).  quad_full is THREADED
+    # as an arg — a 2.95 GB closure constant kills the remote compiler.
+    quad_full = jax.jit(lambda qp: iv_mod._sym_unpack(ivd)(qp))(
+        params.quad_packed)
+    jax.block_until_ready(quad_full)
+
+    def upto_solve_full(z, qf, first, w_p, rhs):
+        l_mat = jnp.einsum("bc,cij->bij", z, qf,
+                           precision=HOT_PRECISION) + jnp.eye(ivd)
+        return jnp.sum(iv_mod.spd_solve(l_mat, rhs) * w_iv)
+
     stages = [("contract", upto_contract), ("(+)unpack", upto_unpack),
-              ("(+)solve", upto_solve), ("extract", extract)]
-    for name, fn in stages:
+              ("(+)solve", upto_solve),
+              ("solve_full", upto_solve_full, quad_full),
+              ("extract", extract)]
+    for entry in stages:
+        name, fn = entry[0], entry[1]
+        p_arg = entry[2] if len(entry) > 2 else params
         g = jax.jit(jax.grad(fn))
-        out = g(zs[-1], params, first, w_p, rhs)
+        out = g(zs[-1], p_arg, first, w_p, rhs)
         jax.block_until_ready(out)
         gn = float(jnp.linalg.norm(out))
         times = []
         for i in range(reps):
             t0 = time.perf_counter()
-            out = g(zs[i], params, first, w_p, rhs)
+            out = g(zs[i], p_arg, first, w_p, rhs)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
