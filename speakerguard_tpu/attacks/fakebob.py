@@ -4,8 +4,11 @@ Re-design of reference attack/FAKEBOB.py: NES gradient estimation +
 momentum + per-sample plateau LR decay + early stop.  The reference drops
 solved samples from the working batch by rebuilding tensors on the host
 (`delete_found`, FAKEBOB.py:125-168); here solved samples are an inactive
-mask lane and the whole iteration loop is one `lax.while_loop` that exits
-when every lane is inactive.
+mask lane and the whole iteration loop is a `lax.while_loop` over small
+scan chunks that exits when every lane is inactive (a per-iteration
+data-dependent while_loop serializes each step against its cond — see
+attacks/cw2.py; chunks are kept small because each wasted NES body is
+expensive).
 
 Per-sample plateau history is a (B, plateau_length) ring buffer.  (Note the
 reference's `last_ls = [[]] * n_audios` aliases ONE list across the batch —
@@ -102,14 +105,18 @@ class FAKEBOB(Attack):
                 loss, grad, adver_loss, _, y_pred = self._nes_step(
                     c["x"], y, threshold, key, params=params)
 
-                better = jnp.logical_and(c["active"],
-                                         adver_loss < c["best_loss"])
+                # `valid` gate: scan chunks may overshoot past max_iter —
+                # those iterations must be exact no-ops
+                valid = c["it"] <= max_iter
+                better = jnp.logical_and(
+                    jnp.logical_and(c["active"], valid),
+                    adver_loss < c["best_loss"])
                 best_loss = jnp.where(better, adver_loss, c["best_loss"])
                 best_x = jnp.where(better[:, None], c["x"], c["best_x"])
 
                 # drop found (adver_loss < 0)
-                active = jnp.logical_and(c["active"],
-                                         jnp.logical_not(adver_loss < 0))
+                active = jnp.logical_and(c["active"], jnp.logical_not(
+                    jnp.logical_and(adver_loss < 0, valid)))
 
                 grad = momentum * c["prev_grad"] + (1.0 - momentum) * grad
 
@@ -126,11 +133,13 @@ class FAKEBOB(Attack):
 
                 x = c["x"] + grad_sign * lr[:, None] * jnp.sign(grad)
                 x = jnp.clip(x, lower, upper)
-                x = jnp.where(active[:, None], x, c["x"])
+                x = jnp.where(
+                    jnp.logical_and(active, valid)[:, None], x, c["x"])
 
                 # early-stop lane drop on convergence
-                check = jnp.logical_and(stop_early,
-                                        c["it"] % stop_early_iter == 0)
+                check = jnp.logical_and(
+                    jnp.logical_and(stop_early, valid),
+                    c["it"] % stop_early_iter == 0)
                 converged = c["prev_loss"] * 0.9999 - loss < 0
                 active = jnp.where(jnp.logical_and(check, converged),
                                    False, active)
@@ -151,7 +160,20 @@ class FAKEBOB(Attack):
                 best_loss=jnp.full((b,), jnp.inf, jnp.float32),
                 best_x=x0,
                 prev_loss=jnp.full((b,), jnp.inf, jnp.float32))
-            final = jax.lax.while_loop(cond, body, init)
+            # while over SCAN CHUNKS: a per-iteration data-dependent
+            # while_loop serializes each step against its cond (~8-10 ms,
+            # see attacks/cw2.py).  Outputs are identical — all per-lane
+            # updates are masked by `active`, so in-chunk iterations after
+            # every lane would have exited are no-ops; the chunk is kept
+            # small because each wasted NES body is expensive.
+            chunk = min(8, max_iter + 1)
+
+            def chunk_body(c):
+                out, _ = jax.lax.scan(lambda cc, _: (body(cc), None), c,
+                                      None, length=chunk)
+                return out
+
+            final = jax.lax.while_loop(cond, chunk_body, init)
             return final["best_x"], final["best_loss"]
 
         return run
