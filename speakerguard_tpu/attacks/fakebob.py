@@ -217,43 +217,97 @@ class FAKEBOB(Attack):
         adver_x = x
         grad = jnp.zeros_like(x)
 
-        if "step" not in self._run_cache:
-            def one_step(params, adver_x, y, thr, prev_grad, lr, lo, hi,
-                         key):
-                # nes_grad evaluates the unperturbed point for free, so the
-                # accept-decision and current max-score ride the same jitted
-                # call — no eager make_decision dispatch per iteration
-                loss, g, _, adver_score, predict = self._nes_step(
-                    adver_x, y, thr, key, params=params)
-                g = self.momentum * prev_grad + (1.0 - self.momentum) * g
-                nx = adver_x + self.grad_sign * lr * jnp.sign(g)
-                return (jnp.clip(nx, lo, hi), g, loss, predict[0],
-                        jnp.max(adver_score[0]))
-            self._run_cache["step"] = jax.jit(one_step)
+        if "est_run" not in self._run_cache:
+            momentum, grad_sign = self.momentum, self.grad_sign
+            plateau_length, plateau_drop = (self.plateau_length,
+                                            self.plateau_drop)
+            min_lr = self.min_lr
 
-        it = 0
+            def est_run(params, x0, grad0, thr, lr0, it0, lo, hi, rng):
+                """The whole inner loop for ONE candidate threshold, on
+                device: NES steps + momentum + plateau LR ring + the
+                accept / exceeded exits, as a while over scan chunks (one
+                dispatch per ~16 iterations instead of per iteration —
+                each eager dispatch costs ~30 ms through the tunnel).
+
+                Key/`it` semantics match the host loop exactly: `it` only
+                advances on committed steps, and the breaking iteration's
+                key is reused by the next candidate threshold."""
+
+                def cond(c):
+                    return jnp.logical_not(
+                        jnp.logical_or(c["accepted"], c["exceeded"]))
+
+                def body(c):
+                    key = jax.random.fold_in(rng, c["it"])
+                    loss, g, _, adver_score, predict = self._nes_step(
+                        c["x"], y, thr, key, params=params)
+                    score = jnp.max(adver_score[0])
+                    live = jnp.logical_not(
+                        jnp.logical_or(c["accepted"], c["exceeded"]))
+                    accepted = jnp.logical_and(live, predict[0] != -1)
+                    exceeded = jnp.logical_and(
+                        live, jnp.logical_and(score >= thr,
+                                              jnp.logical_not(accepted)))
+                    commit = jnp.logical_and(live, jnp.logical_not(
+                        jnp.logical_or(accepted, exceeded)))
+
+                    g = momentum * c["grad"] + (1.0 - momentum) * g
+                    nx = jnp.clip(c["x"] + grad_sign * c["lr"]
+                                  * jnp.sign(g), lo, hi)
+                    x = jnp.where(commit, nx, c["x"])
+                    grad = jnp.where(commit, g, c["grad"])
+
+                    ring = jnp.where(
+                        commit,
+                        jnp.concatenate([c["ring"][1:], loss[0:1]]),
+                        c["ring"])
+                    count = jnp.where(
+                        commit,
+                        jnp.minimum(c["count"] + 1, plateau_length),
+                        c["count"])
+                    trigger = jnp.logical_and(
+                        jnp.logical_and(commit, count == plateau_length),
+                        ring[-1] > ring[0])
+                    lr = jnp.where(
+                        jnp.logical_and(trigger, c["lr"] > min_lr),
+                        jnp.maximum(c["lr"] / plateau_drop, min_lr),
+                        c["lr"])
+                    count = jnp.where(trigger, 0, count)
+
+                    return dict(
+                        x=x, grad=grad, lr=lr, ring=ring, count=count,
+                        it=c["it"] + commit.astype(jnp.int32),
+                        accepted=jnp.logical_or(c["accepted"], accepted),
+                        exceeded=jnp.logical_or(c["exceeded"], exceeded),
+                        score=jnp.where(accepted, score, c["score"]))
+
+                init = dict(
+                    x=x0, grad=grad0, lr=lr0,
+                    ring=jnp.zeros((plateau_length,), jnp.float32),
+                    count=jnp.asarray(0, jnp.int32), it=it0,
+                    accepted=jnp.asarray(False),
+                    exceeded=jnp.asarray(False),
+                    score=jnp.asarray(0.0, jnp.float32))
+
+                def chunk_body(c):
+                    out, _ = jax.lax.scan(
+                        lambda cc, _: (body(cc), None), c, None, length=16)
+                    return out
+
+                return jax.lax.while_loop(cond, chunk_body, init)
+            self._run_cache["est_run"] = jax.jit(est_run)
+
+        it = jnp.asarray(0, jnp.int32)
         while True:
-            lr = self.max_lr
-            ring = []
-            while True:
-                key = jax.random.fold_in(rng, it)
-                new_x, new_grad, loss, d0, score = self._run_cache["step"](
-                    self.model.jit_params(), adver_x, y,
-                    jnp.asarray(threshold, jnp.float32), grad,
-                    jnp.asarray(lr, jnp.float32), lower, upper, key)
-                score = float(score)
-                if int(d0) != -1:
-                    return score  # accepted: threshold found
-                if score >= threshold:
-                    break  # exceeded candidate without acceptance
-                adver_x, grad = new_x, new_grad
-                lv = float(loss[0])
-                ring = (ring + [lv])[-self.plateau_length:]
-                if len(ring) == self.plateau_length and ring[-1] > ring[0]:
-                    if lr > self.min_lr:
-                        lr = max(lr / self.plateau_drop, self.min_lr)
-                    ring = []
-                it += 1
+            final = self._run_cache["est_run"](
+                self.model.jit_params(), adver_x, grad,
+                jnp.asarray(threshold, jnp.float32),
+                jnp.asarray(self.max_lr, jnp.float32), it, lower, upper,
+                rng)
+            if bool(final["accepted"]):
+                return float(final["score"])  # accepted: threshold found
+            adver_x, grad, it = final["x"], final["grad"], final["it"]
             threshold += delta
 
     def estimate_threshold(self, x, step=0.1, rng=None):
