@@ -223,7 +223,8 @@ class FAKEBOB(Attack):
                                             self.plateau_drop)
             min_lr = self.min_lr
 
-            def est_run(params, x0, grad0, thr, lr0, it0, lo, hi, rng):
+            def est_run(params, x0, grad0, thr, lr0, ring0, count0, it0,
+                        lo, hi, rng):
                 """The whole inner loop for ONE candidate threshold, on
                 device: NES steps + momentum + plateau LR ring + the
                 accept / exceeded exits, as a while over scan chunks (one
@@ -232,11 +233,18 @@ class FAKEBOB(Attack):
 
                 Key/`it` semantics match the host loop exactly: `it` only
                 advances on committed steps, and the breaking iteration's
-                key is reused by the next candidate threshold."""
+                key is reused by the next candidate threshold.
+
+                Each call is BUDGETED to 512 committed iterations — an
+                unbounded on-device while_loop can spin past the TPU
+                watchdog and crash the worker when the model threshold is
+                unreachable; the host re-dispatches with carried state
+                (lr/ring/count included, so resumption is seamless)."""
 
                 def cond(c):
-                    return jnp.logical_not(
+                    live = jnp.logical_not(
                         jnp.logical_or(c["accepted"], c["exceeded"]))
+                    return jnp.logical_and(live, c["it"] - it0 < 512)
 
                 def body(c):
                     key = jax.random.fold_in(rng, c["it"])
@@ -283,9 +291,8 @@ class FAKEBOB(Attack):
                         score=jnp.where(accepted, score, c["score"]))
 
                 init = dict(
-                    x=x0, grad=grad0, lr=lr0,
-                    ring=jnp.zeros((plateau_length,), jnp.float32),
-                    count=jnp.asarray(0, jnp.int32), it=it0,
+                    x=x0, grad=grad0, lr=lr0, ring=ring0, count=count0,
+                    it=it0,
                     accepted=jnp.asarray(False),
                     exceeded=jnp.asarray(False),
                     score=jnp.asarray(0.0, jnp.float32))
@@ -299,16 +306,26 @@ class FAKEBOB(Attack):
             self._run_cache["est_run"] = jax.jit(est_run)
 
         it = jnp.asarray(0, jnp.int32)
+        lr = jnp.asarray(self.max_lr, jnp.float32)
+        ring = jnp.zeros((self.plateau_length,), jnp.float32)
+        count = jnp.asarray(0, jnp.int32)
         while True:
             final = self._run_cache["est_run"](
                 self.model.jit_params(), adver_x, grad,
-                jnp.asarray(threshold, jnp.float32),
-                jnp.asarray(self.max_lr, jnp.float32), it, lower, upper,
-                rng)
+                jnp.asarray(threshold, jnp.float32), lr, ring, count, it,
+                lower, upper, rng)
             if bool(final["accepted"]):
                 return float(final["score"])  # accepted: threshold found
             adver_x, grad, it = final["x"], final["grad"], final["it"]
-            threshold += delta
+            if bool(final["exceeded"]):
+                # escalate the candidate; LR/ring reset (host semantics)
+                threshold += delta
+                lr = jnp.asarray(self.max_lr, jnp.float32)
+                ring = jnp.zeros((self.plateau_length,), jnp.float32)
+                count = jnp.asarray(0, jnp.int32)
+            else:
+                # budget exhausted: resume the SAME candidate seamlessly
+                lr, ring, count = final["lr"], final["ring"], final["count"]
 
     def estimate_threshold(self, x, step=0.1, rng=None):
         """x: (B, 1, L) or (B, L) candidate rejected utterances; sets
