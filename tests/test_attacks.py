@@ -175,3 +175,99 @@ def test_attacks_on_audionet_smoke(small_audionet):
     adver, success = atk.attack(x, y, rng=jax.random.PRNGKey(0))
     assert adver.shape == x.shape
     assert float(jnp.max(jnp.abs(adver - x))) <= 0.02 + 1e-5
+
+
+def test_cw2_matches_eager_loop_oracle(toy):
+    """The while-of-scan-chunks engine must reproduce a straightforward
+    eager python loop of the same algorithm step for step (guards the
+    chunking/masking machinery: overshoot past max_iter and the in-chunk
+    early-stop no-ops must not perturb results)."""
+    import optax
+    from speakerguard_tpu.attacks.losses import margin_loss
+    from speakerguard_tpu.models.base import decide
+    from speakerguard_tpu.attacks.base import normalize_wav_input
+
+    m, x, y = toy
+    max_iter, bss, c0, lr = 23, 2, 1e-1, 1e-2  # 23 % chunk sizes != 0
+    rng = jax.random.PRNGKey(0)
+
+    atk = CW2(m, task="CSI", max_iter=max_iter, binary_search_steps=bss,
+              stop_early=True, stop_early_iter=7, lr=lr, initial_const=c0)
+    adver, success = atk.attack(x, y, rng=rng)
+
+    # ---- independent eager loop (mirrors reference CW2.py semantics) ----
+    xn, restore = normalize_wav_input(x)
+    b = xn.shape[0]
+    const = np.full(b, c0)
+    lower_b, upper_b = np.zeros(b), np.full(b, 1e10)
+    g_l2 = np.full(b, np.inf)
+    g_score = np.full(b, -2, np.int64)
+    g_x = np.asarray(xn)
+    opt = optax.adam(lr)
+    x_atanh = jnp.arctanh(xn * 0.999999)
+
+    def losses(modifier, key, cvec):
+        input_x = jnp.tanh(modifier + x_atanh)
+        scores = m.score(input_x, rng=key)
+        l1 = margin_loss(scores, y, task="CSI", targeted=False,
+                         confidence=0.0, threshold=None, clip_max=True)
+        l2 = jnp.sum(jnp.square(input_x - xn), axis=-1)
+        return jnp.sum(cvec * l1 + l2), (l1, l2, scores, input_x)
+
+    for step in range(bss):
+        key0 = jax.random.fold_in(rng, step)
+        cvec = jnp.asarray(const, jnp.float32)
+        modifier = jnp.zeros_like(xn)
+        ostate = opt.init(modifier)
+        best_l2 = np.full(b, np.inf)
+        best_score = np.full(b, -2, np.int64)
+        s_l2 = np.full(b, np.inf)
+        s_score = np.full(b, -2, np.int64)
+        s_x = np.asarray(xn)
+        prev_loss = np.inf
+        it = 0
+        while it <= max_iter:
+            key = jax.random.fold_in(key0, it)
+            grads, (l1, l2, scores, input_x) = jax.grad(
+                losses, has_aux=True)(modifier, key, cvec)
+            dec, _ = decide(scores, m.threshold)
+            if it < max_iter:
+                upd, ostate = opt.update(grads, ostate, modifier)
+                modifier = modifier + upd
+            l1n, l2n = np.asarray(l1), np.asarray(l2)
+            hit = l1n <= 0
+            better = hit & (l2n < best_l2)
+            best_l2 = np.where(better, l2n, best_l2)
+            best_score = np.where(better, np.asarray(dec), best_score)
+            sb = hit & (l2n < s_l2)
+            s_l2 = np.where(sb, l2n, s_l2)
+            s_score = np.where(sb, np.asarray(dec), s_score)
+            s_x = np.where(sb[:, None], np.asarray(input_x), s_x)
+            lm = float(np.mean(np.asarray(const) * l1n + l2n))
+            if it % 7 == 0:
+                if lm > 0.9999 * prev_loss:
+                    it += 1
+                    break
+                prev_loss = lm
+            it += 1
+        improved = s_l2 < g_l2
+        g_l2 = np.where(improved, s_l2, g_l2)
+        g_score = np.where(improved, s_score, g_score)
+        g_x = np.where(improved[:, None], s_x, g_x)
+        for j in range(b):
+            if best_score[j] != -2:
+                upper_b[j] = min(upper_b[j], const[j])
+                if upper_b[j] < 1e9:
+                    const[j] = (lower_b[j] + upper_b[j]) / 2
+            else:
+                lower_b[j] = max(lower_b[j], const[j])
+                if upper_b[j] < 1e9:
+                    const[j] = (lower_b[j] + upper_b[j]) / 2
+                else:
+                    const[j] *= 10
+
+    want_adv = np.asarray(restore(jnp.asarray(g_x)))
+    want_success = (g_score != -2).tolist()
+    assert want_success == success
+    np.testing.assert_allclose(np.asarray(adver), want_adv,
+                               rtol=1e-5, atol=1e-6)
