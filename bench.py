@@ -36,6 +36,12 @@ def main():
         enroll = jnp.asarray(
             rng.standard_normal((10, 200)).astype(np.float32))
         default_batch = "128"  # r2: 17.3 utts/s (7.4/12.3 at batch 16/64)
+    elif model_kind == "audionet":
+        from speakerguard_tpu.models.audionet import AudioNet, init_audionet
+        params, state = init_audionet(rng, num_class=10)
+        model = AudioNet(params, state)
+        enroll = None
+        default_batch = "128"
     else:
         from speakerguard_tpu.models.xv_plda import (
             XvPlda, random_xv_plda_params)
@@ -43,7 +49,8 @@ def main():
         enroll = jnp.asarray(
             rng.standard_normal((10, 150)).astype(np.float32))
         default_batch = "128"
-    model.set_enrollment([str(i) for i in range(10)], enroll)
+    if enroll is not None:
+        model.set_enrollment([str(i) for i in range(10)], enroll)
 
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     wav_len = int(os.environ.get("BENCH_WAV_LEN", "48000"))  # 3 s
@@ -94,8 +101,10 @@ def main():
     if baseline is None:
         # measured reference-equivalent torch-CPU PGD-100 throughputs
         # (bench_reference.py, per-utterance loops)
-        baseline = {"xv_plda": 0.0562, "iv_plda": 4e-05}.get(
-            model_kind, 0.0562)
+        # audionet: no measured torch-CPU baseline run — reuse the xv
+        # per-utterance pipeline figure as a conservative stand-in
+        baseline = {"xv_plda": 0.0562, "iv_plda": 4e-05,
+                    "audionet": 0.0562}.get(model_kind, 0.0562)
     # baselines are PGD-100; reference cost is linear in iterations
     baseline = baseline * (100.0 / max_iter)
 

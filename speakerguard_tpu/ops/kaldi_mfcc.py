@@ -263,7 +263,7 @@ _WINDOWS: dict = {}
 
 @functools.lru_cache(maxsize=None)
 def _rfft_power(win: int, n_fft: int, preemph: float = 0.0,
-                window_key=None):
+                window_key=None, precision=None):
     """frames (..., win) -> power spectrum (..., n_fft//2+1), computed as
     two real-DFT MXU matmuls in BOTH directions (TPU FFTs are emulated and
     slow; measured: swapping the 512-pt rfft + irfft-backward for these
@@ -297,9 +297,11 @@ def _rfft_power(win: int, n_fft: int, preemph: float = 0.0,
     sin_kj = sin_kj.astype(np.float32)
 
     def _spectrum(frames):
-        # real DFT as two MXU matmuls (HIGHEST to keep Kaldi parity): TPU
-        # FFTs are emulated and slow; (win, K) matmuls are tiny for the MXU
-        hi = jax.lax.Precision.HIGHEST
+        # real DFT as two MXU matmuls (default HIGHEST to keep Kaldi
+        # parity; non-parity frontends like the AudioNet logmel pass HIGH):
+        # TPU FFTs are emulated and slow; the matmuls are MXU-friendly
+        hi = (precision if precision is not None
+              else jax.lax.Precision.HIGHEST)
         re = jnp.matmul(frames, jnp.asarray(cos_kj).T, precision=hi)
         im = -jnp.matmul(frames, jnp.asarray(sin_kj).T, precision=hi)
         return re, im

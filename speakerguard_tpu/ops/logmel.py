@@ -111,8 +111,11 @@ def audionet_logmel(wav: jnp.ndarray, cfg: LogMelConfig = AUDIONET_LOGMEL
     from speakerguard_tpu.ops.kaldi_mfcc import _rfft_power, _WINDOWS
     key = ("stft_hann", cfg.win_length, cfg.n_fft)
     _WINDOWS.setdefault(key, lambda cfg=cfg: _stft_window(cfg))
-    power = _rfft_power(cfg.n_fft, cfg.n_fft,
-                        window_key=key)(frames)          # (B, T, bins)
+    # HIGH (3-pass, ~1e-5 rel err): this frontend feeds a CNN classifier,
+    # not the Kaldi-parity chain — HIGHEST's 6 passes dominate AudioNet's
+    # whole attack iteration at n_fft=1024
+    power = _rfft_power(cfg.n_fft, cfg.n_fft, window_key=key,
+                        precision=jax.lax.Precision.HIGH)(frames)
 
     mel = jnp.matmul(power, jnp.asarray(slaney_mel_banks(cfg)).T,
                      precision=jax.lax.Precision.HIGHEST)  # (B, T, n_mels)
