@@ -67,8 +67,13 @@ class Attack:
 
 
 def normalize_wav_input(x):
-    """(B, 1, L) | (B, L) | (L,) -> ((B, L) jnp array, restore_fn)."""
+    """(B, 1, L) | (B, L) | (L,) -> ((B, L) jnp array, restore_fn).
+
+    Also a structural domain gate: every attack entry point funnels through
+    here, so origin-domain (int16-valued float) audio is rejected loudly
+    instead of silently attacking a 32768x mis-scaled signal."""
     x = jnp.asarray(x)
+    assert_scale_domain(x)
     shape = x.shape
     if x.ndim == 1:
         flat = x[None, :]
@@ -80,6 +85,20 @@ def normalize_wav_input(x):
     return flat, lambda y: jnp.reshape(y, shape)
 
 
-def scale_domain_check(x):
-    assert float(jnp.max(x)) < 1.0 + 1e-6 and float(jnp.min(x)) >= -1.0 - 1e-6, \
-        "adversarial examples are generated in the [-1, 1) float domain"
+def assert_scale_domain(x, what="attack input"):
+    """Raise if a concrete array is clearly not scale-domain audio.
+
+    Attacks operate in [-1, 1) (the reference feeds Dataset(normalize=True)
+    straight into attacks, attackMain.py:188-189); an array with |x| >> 1
+    here means the caller scaled to the origin domain (or divided twice the
+    other way) — a bug class invisible to epsilon-ball math, so fail loudly.
+    Tracers are skipped (attacks only call this eagerly at entry)."""
+    if isinstance(x, jax.core.Tracer):
+        return
+    m = float(jnp.max(jnp.abs(x))) if x.size else 0.0
+    if m > 2.0:
+        raise ValueError(
+            f"{what} has max|x|={m:.1f}; expected scale-domain audio in "
+            "[-1, 1). Origin-domain (int16-valued float) audio must be "
+            "divided by 2**15 exactly once before attacking; "
+            "Dataset(normalize=True) already yields the scale domain.")

@@ -43,7 +43,10 @@ class CW2(Attack):
     def __init__(self, model, task="CSI", targeted=False, confidence=0.0,
                  initial_const=1e-3, binary_search_steps=9, max_iter=10000,
                  stop_early=True, stop_early_iter=1000, lr=1e-2,
-                 batch_size=1, verbose=0):
+                 batch_size=None, verbose=0):
+        # batch_size: memory knob chunking the input like the reference's
+        # attack() loop; None = whole input in one compiled batch
+        self.batch_size = batch_size
         self.model = model
         self.task = task
         self.targeted = targeted
@@ -199,5 +202,11 @@ class CW2(Attack):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         x, restore = normalize_wav_input(x)
         y = jnp.asarray(y)
-        adver_x, success = self.attack_batch(x, y, rng)
+        # honor the batch_size memory knob (reference CW2 inherits the
+        # FGSM.attack chunking loop, FGSM.py:83-96)
+        if self.batch_size and self.batch_size < x.shape[0]:
+            adver_x, success = self.run_batched(self.attack_batch, x, y,
+                                                rng, self.batch_size)
+        else:
+            adver_x, success = self.attack_batch(x, y, rng)
         return restore(adver_x), success

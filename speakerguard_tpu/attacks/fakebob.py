@@ -39,8 +39,11 @@ class FAKEBOB(Attack):
                  min_lr=1e-6, samples_per_draw=50,
                  samples_per_draw_batch_size=50, sigma=0.001, momentum=0.9,
                  plateau_length=5, plateau_drop=2.0, stop_early=True,
-                 stop_early_iter=100, batch_size=1, EOT_size=1,
+                 stop_early_iter=100, batch_size=None, EOT_size=1,
                  EOT_batch_size=1, verbose=0):
+        # batch_size: memory knob chunking the input (None = whole input in
+        # one compiled batch); NES lanes already chunk via samples_batch
+        self.batch_size = batch_size
         self.model = model
         self.threshold = threshold
         self.task = task
@@ -187,6 +190,16 @@ class FAKEBOB(Attack):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         x, restore = normalize_wav_input(x)
         y = jnp.asarray(y)
+        # honor the batch_size memory knob (reference FAKEBOB.py loops the
+        # input in attack-batches like FGSM.py:83-96)
+        if self.batch_size and self.batch_size < x.shape[0]:
+            adver_x, success = self.run_batched(self._attack_whole, x, y,
+                                                rng, self.batch_size)
+        else:
+            adver_x, success = self._attack_whole(x, y, rng)
+        return restore(adver_x), success
+
+    def _attack_whole(self, x, y, rng):
         lower = jnp.clip(x - self.epsilon, -1.0)
         upper = jnp.clip(x + self.epsilon, None, 1.0)
 
@@ -197,7 +210,7 @@ class FAKEBOB(Attack):
         best_x, best_loss = self._run_cache["run"](
             self.model.jit_params(), x, y, lower, upper, thr, rng)
         success = (np.asarray(best_loss) < 0).tolist()
-        return restore(best_x), success
+        return best_x, success
 
     # ------------------------------------------------------------------
     def estimate_threshold_run(self, x, step=0.1, rng=None):

@@ -4,8 +4,9 @@ Re-design of reference attack/FGSM.py / PGD.py / CWinf.py: the reference's
 `attack_batch` Python loop (FGSM.py:38-70) with per-iteration
 `.cpu().numpy()` syncs becomes a single `lax.scan` whose body does an
 EOT-averaged value-and-grad and the signed step + clip.  Random restarts
-(PGD.py:54-77) are a vmapped axis evaluated in one compilation, not an
-outer Python loop.
+(PGD.py:54-77) are a `lax.scan` over restart keys inside the same jit —
+one compilation, one dispatch, single-restart peak memory — with the
+best-batch-success-rate selection done on device.
 
 Class relationships preserved: FGSM == PGD with max_iter=1, step=epsilon,
 global clip bounds; CWinf == PGD with Margin loss forced.
@@ -18,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from speakerguard_tpu.attacks.base import Attack, normalize_wav_input
-from speakerguard_tpu.attacks.losses import resolve_loss, majority_vote
+from speakerguard_tpu.attacks.losses import (resolve_loss, majority_vote,
+                                             compare)
 from speakerguard_tpu.adaptive.eot import eot, eot_no_grad
 
 
@@ -57,17 +59,17 @@ class PGD(Attack):
             loss_name=loss, targeted=targeted, task=task,
             threshold=self.threshold, clip_max=False)
 
-        self._run = self._make_run()
+        self._run, self._run_restarts = self._make_run()
 
     def _make_run(self):
         step_size, grad_sign, max_iter = (self.step_size, self.grad_sign,
                                           self.max_iter)
         model = self.model
 
-        def run(params, x, y, rng, do_init_noise):
-            """Everything (bounds, restart noise, key splitting, the
-            iteration scan, final eval) lives inside ONE jit — eager ops
-            outside jit cost ~50ms dispatch each on a tunneled device.
+        def single(params, x, y, rng, do_init_noise):
+            """One restart: bounds, optional init noise, the iteration scan,
+            final eval — all inside ONE jit (eager ops outside jit cost
+            ~50ms dispatch each on a tunneled device).
             params: model pytree (traced for GB-scale models, None for
             MB-scale where closure constants are faster)."""
             score_fn = lambda xx, key: model.score(  # noqa: E731
@@ -80,10 +82,11 @@ class PGD(Attack):
             init_key, loop_key = jax.random.split(rng)
             x0 = x
             if do_init_noise:
-                x0 = jnp.clip(
-                    x + jax.random.uniform(init_key, x.shape, x.dtype,
-                                           -self.epsilon, self.epsilon),
-                    lower, upper)
+                # the reference does NOT clip the init point; the first
+                # step's gradient is taken at x+noise and clipping happens
+                # after stepping (PGD.py:59-61 + FGSM.py:65-68)
+                x0 = x + jax.random.uniform(init_key, x.shape, x.dtype,
+                                            -self.epsilon, self.epsilon)
             keys = jax.random.split(
                 loop_key, (max_iter + 1) * self.EOT_size
             ).reshape(max_iter + 1, self.EOT_size, 2)
@@ -101,7 +104,30 @@ class PGD(Attack):
             predict = majority_vote(decisions, scores.shape[-1])
             return x_adv, predict, loss
 
-        return jax.jit(run, static_argnames=("do_init_noise",))
+        def run_restarts(params, x, y, rng, n_restarts):
+            """num_random_init restarts as a lax.scan INSIDE the jit: one
+            compilation, one dispatch, peak memory of a single restart, and
+            the best-whole-batch-success-rate selection (reference
+            PGD.py:54-77, strict '>' keeps the earliest restart on ties)
+            happens on device."""
+            def body(best, key):
+                x_adv, predict, loss = single(params, x, y, key, True)
+                success = compare(y, predict, self.targeted)
+                rate = jnp.mean(success.astype(jnp.float32))
+                best_rate, best_x, best_pred = best
+                take = rate > best_rate
+                best = (jnp.where(take, rate, best_rate),
+                        jnp.where(take, x_adv, best_x),
+                        jnp.where(take, predict, best_pred))
+                return best, loss
+            init = (jnp.float32(-1.0), jnp.zeros_like(x),
+                    jnp.zeros_like(y))
+            keys = jax.random.split(rng, n_restarts)
+            (_, best_x, best_pred), _ = jax.lax.scan(body, init, keys)
+            return best_x, best_pred
+
+        return (jax.jit(single, static_argnames=("do_init_noise",)),
+                jax.jit(run_restarts, static_argnames=("n_restarts",)))
 
     def _bounds(self, x):
         lower = jnp.clip(x - self.epsilon, -1.0)
@@ -122,17 +148,13 @@ class PGD(Attack):
     def _attack_whole(self, x, y, rng):
         x, y = self.shard_inputs(x, y)
         params = self.replicate_params(self.model.jit_params())
-        n_restarts = max(1, self.num_random_init)
-        best = None
-        for r in range(n_restarts):
-            adver_x, predict, loss = self._run(
-                params, x, y, jax.random.fold_in(rng, r),
-                self.num_random_init > 0)
-            success = self.compare(y, predict, self.targeted)
-            rate = sum(success) / len(success)
-            if best is None or rate > best[0]:
-                best = (rate, adver_x, success)
-        _, adver_x, success = best
+        if self.num_random_init > 1:
+            adver_x, predict = self._run_restarts(params, x, y, rng,
+                                                  self.num_random_init)
+        else:
+            adver_x, predict, _ = self._run(params, x, y, rng,
+                                            self.num_random_init > 0)
+        success = self.compare(y, predict, self.targeted)
         return adver_x, success
 
 

@@ -26,9 +26,12 @@ class SirenAttack(Attack):
     def __init__(self, model, threshold=None, task="CSI", targeted=False,
                  confidence=0.0, epsilon=0.002, max_epoch=300, max_iter=30,
                  c1=1.4961, c2=1.4961, n_particles=25, w_init=0.9,
-                 w_end=0.1, batch_size=1, EOT_size=1, EOT_batch_size=1,
+                 w_end=0.1, batch_size=None, EOT_size=1, EOT_batch_size=1,
                  verbose=0, abort_early=True, abort_early_iter=10,
                  abort_early_epoch=10):
+        # batch_size: memory knob chunking the utterance axis (None = whole
+        # input); the particle axis multiplies memory by n_particles
+        self.batch_size = batch_size
         self.model = model
         self.threshold = threshold
         self.task = task
@@ -158,6 +161,16 @@ class SirenAttack(Attack):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         x, restore = normalize_wav_input(x)
         y = jnp.asarray(y)
+        # honor the batch_size memory knob (the particle axis multiplies
+        # memory by n_particles, so chunking the utterance axis matters)
+        if self.batch_size and self.batch_size < x.shape[0]:
+            adver_x, success = self.run_batched(self._attack_whole, x, y,
+                                                rng, self.batch_size)
+        else:
+            adver_x, success = self._attack_whole(x, y, rng)
+        return restore(adver_x), success
+
+    def _attack_whole(self, x, y, rng):
         b, length = x.shape
         p = self.n_particles
         # distortion bounds (SirenAttack.py:251-252)
@@ -211,4 +224,4 @@ class SirenAttack(Attack):
                       f"{np.asarray(gbests).tolist()}")
 
         success = (np.asarray(gbests) < 0).tolist()
-        return restore(gbest_loc + x), success
+        return gbest_loc + x, success

@@ -253,8 +253,14 @@ def main(args):
         if os.path.exists(des_path):
             print("*" * 40, index, names[0], "Exists, Skip", "*" * 40)
             continue
-        # attacks operate in the scale domain
-        origin = origin.astype(np.float32) / (2.0 ** 15)
+        # Attacks operate in the scale domain.  Dataset(normalize=True)
+        # already yields it (reference attackMain.py:188-189 feeds the
+        # loader output to attacks directly) — only an origin-domain
+        # dataset needs the one-time divide; a mis-scaled array is then
+        # rejected loudly by the attack entry (assert_scale_domain).
+        origin = origin.astype(np.float32)
+        if dataset.domain == "origin":
+            origin = origin / (2.0 ** 15)
         if args.targeted:
             target = true.copy()
             for ii, y in enumerate(true):

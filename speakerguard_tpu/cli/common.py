@@ -21,6 +21,27 @@ def add_defense_args(parser):
                         choices=["sequential", "average"])
 
 
+def add_eval_dither_arg(parser):
+    """-eval_dither restores the reference's stochastic evaluation: the
+    reference applies Kaldi-MFCC dither=1.0 unconditionally inside the
+    frontend (reference model/iv_plda.py:212-215), so its EER/threshold
+    statistics are computed on dithered features.  Our frontends apply
+    dither only when an rng is threaded in, making evaluation deterministic
+    by default; pass this flag for reference-parity experiments."""
+    parser.add_argument("-eval_dither", action="store_true", default=False)
+    parser.add_argument("-eval_dither_seed", type=int, default=0)
+
+
+def eval_rng_stream(args):
+    """Returns `i -> (PRNG key or None)` for eval CLI model calls: None
+    (deterministic, the default) unless -eval_dither was passed."""
+    if not getattr(args, "eval_dither", False):
+        return lambda i: None
+    import jax
+    key = jax.random.PRNGKey(getattr(args, "eval_dither_seed", 0))
+    return lambda i: jax.random.fold_in(key, i)
+
+
 def add_system_subparsers(parser, with_model_file=True):
     sub = parser.add_subparsers(dest="system_type")
     iv = sub.add_parser("iv_plda")

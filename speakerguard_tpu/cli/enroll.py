@@ -10,7 +10,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from speakerguard_tpu.cli.common import (add_defense_args,
-                                         add_system_subparsers, build_model)
+                                         add_eval_dither_arg,
+                                         add_system_subparsers, build_model,
+                                         eval_rng_stream)
 from speakerguard_tpu.utils.audio_io import read_wav
 from speakerguard_tpu.utils.kaldi_io import write_enroll_model_file
 
@@ -21,6 +23,7 @@ def parse_args(argv=None):
     parser.add_argument("-model_dir", default="model_file")
     parser.add_argument("-root", default="data")
     add_defense_args(parser)
+    add_eval_dither_arg(parser)
     add_system_subparsers(parser, with_model_file=False)
     return parser.parse_args(argv)
 
@@ -33,6 +36,8 @@ def main(args):
 
     enroll_dir = os.path.join(args.root, "Spk10_enroll")
     test_dir = os.path.join(args.root, "Spk10_test")
+    rngs = eval_rng_stream(args)
+    call_idx = 0
     model_info = []
     for spk_id in sorted(os.listdir(enroll_dir)):
         spk_dir = os.path.join(enroll_dir, spk_id)
@@ -41,7 +46,8 @@ def main(args):
         embs = []
         for audio_name in sorted(os.listdir(spk_dir)):
             wav = read_wav(os.path.join(spk_dir, audio_name)) * (2.0 ** 15)
-            emb = model.embedding(jnp.asarray(wav[None]))
+            emb = model.embedding(jnp.asarray(wav[None]), rng=rngs(call_idx))
+            call_idx += 1
             embs.append(np.asarray(emb)[0])
         emb = np.mean(np.stack(embs), axis=0, keepdims=True)  # (1, D)
         suffix = (args.system_type if defense_name is None
@@ -60,8 +66,9 @@ def main(args):
             for name in sorted(os.listdir(tdir)):
                 wav = read_wav(os.path.join(tdir, name)) * (2.0 ** 15)
                 score = float(np.asarray(model.score(
-                    jnp.asarray(wav[None]),
-                    enroll_embs=jnp.asarray(emb))).flatten()[0])
+                    jnp.asarray(wav[None]), enroll_embs=jnp.asarray(emb),
+                    rng=rngs(call_idx))).flatten()[0])
+                call_idx += 1
                 nontarget_scores.append(score)
                 print(spk_id, name, score)
         z_mean = float(np.mean(nontarget_scores))

@@ -7,7 +7,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from speakerguard_tpu.cli.common import (add_defense_args,
-                                         add_system_subparsers, build_model)
+                                         add_eval_dither_arg,
+                                         add_system_subparsers, build_model,
+                                         eval_rng_stream)
 from speakerguard_tpu.data.dataset import Spk10_test, Spk10_imposter
 
 
@@ -29,6 +31,7 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-root", default="./data")
     add_defense_args(parser)
+    add_eval_dither_arg(parser)
     add_system_subparsers(parser)
     return parser.parse_args(argv)
 
@@ -40,12 +43,13 @@ def main(args):
     test = Spk10_test(spk_ids, args.root, return_file_name=True)
     imposter = Spk10_imposter(spk_ids, args.root, return_file_name=True)
 
+    rngs = eval_rng_stream(args)
     score_target_sv, score_untarget_sv = [], []
     score_target_osi, score_untarget_osi = [], []
     trues, max_scores, decisions = [], [], []
     acc_cnt = 0
-    for wavs, true, names in test.batches(1):
-        d, s = model.make_decision(jnp.asarray(wavs[:, 0, :]))
+    for i, (wavs, true, names) in enumerate(test.batches(1)):
+        d, s = model.make_decision(jnp.asarray(wavs[:, 0, :]), rng=rngs(i))
         d = int(np.asarray(d)[0])
         s = np.asarray(s).flatten()
         t = int(true[0])
@@ -59,8 +63,9 @@ def main(args):
         max_scores.append(float(s.max()))
         decisions.append(d)
 
-    for wavs, true, names in imposter.batches(1):
-        d, s = model.make_decision(jnp.asarray(wavs[:, 0, :]))
+    for i, (wavs, true, names) in enumerate(imposter.batches(1)):
+        d, s = model.make_decision(jnp.asarray(wavs[:, 0, :]),
+                                   rng=rngs(len(test) + i))
         s = np.asarray(s).flatten()
         print(names[0], s, int(true[0]), int(np.asarray(d)[0]))
         score_untarget_sv += s.tolist()

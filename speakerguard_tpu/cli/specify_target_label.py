@@ -10,7 +10,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from speakerguard_tpu.cli.common import (add_defense_args,
-                                         add_system_subparsers, build_model)
+                                         add_eval_dither_arg,
+                                         add_system_subparsers, build_model,
+                                         eval_rng_stream)
 from speakerguard_tpu.data.dataset import Dataset
 
 
@@ -27,6 +29,7 @@ def parse_args(argv=None):
                         choices=["CSI", "SV", "OSI"])
     parser.add_argument("-seed", type=int, default=0)
     add_defense_args(parser)
+    add_eval_dither_arg(parser)
     add_system_subparsers(parser)
     return parser.parse_args(argv)
 
@@ -47,9 +50,11 @@ def main(args):
     rng = np.random.default_rng(args.seed)
     dataset = Dataset(spk_ids, args.root, args.name, normalize=True,
                       return_file_name=True)
+    rngs = eval_rng_stream(args)
     name2target = {}
     for index, (wavs, true, names) in enumerate(dataset.batches(1)):
-        d, s = model.make_decision(jnp.asarray(wavs[:, 0, :]))
+        d, s = model.make_decision(jnp.asarray(wavs[:, 0, :]),
+                                   rng=rngs(index))
         decision = int(np.asarray(d)[0])
         scores = np.asarray(s).flatten()
         t = int(true[0])

@@ -9,7 +9,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from speakerguard_tpu.cli.common import (add_defense_args,
-                                         add_system_subparsers, build_model)
+                                         add_eval_dither_arg,
+                                         add_system_subparsers, build_model,
+                                         eval_rng_stream)
 from speakerguard_tpu.data.dataset import Dataset
 from speakerguard_tpu.metrics.metric import get_all_metric
 
@@ -19,6 +21,7 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-threshold", type=float, default=None)
     add_defense_args(parser)
+    add_eval_dither_arg(parser)
     parser.add_argument("-root", type=str, required=True)
     parser.add_argument("-name", type=str, required=True)
     parser.add_argument("-root_ori", type=str, default=None)
@@ -57,11 +60,13 @@ def main(args):
         with open(args.target_label_file, "rb") as f:
             name2target = pickle.load(f)
 
+    rngs = eval_rng_stream(args)
     right_cnt = target_success_cnt = total_cnt = 0
     imper = []
     for index, (adver, true, names) in enumerate(dataset.batches(
             args.batch_size)):
-        decisions, _ = model.make_decision(jnp.asarray(adver[:, 0, :]))
+        decisions, _ = model.make_decision(jnp.asarray(adver[:, 0, :]),
+                                           rng=rngs(index))
         decisions = np.asarray(decisions)
         right_cnt += int((decisions == true).sum())
         total_cnt += len(true)

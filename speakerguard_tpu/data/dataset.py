@@ -74,6 +74,11 @@ class Dataset:
                 if audio_name.endswith(".wav"):
                     self.audio_paths.append((spk_id, audio_name))
         self.normalize = normalize
+        # Declared audio domain of every yielded batch: "scale" = floats in
+        # [-1, 1); "origin" = int16-valued floats.  Consumers branch on this
+        # tag instead of guessing from amplitudes (reference model/utils.py:7
+        # heuristic stays only at the model boundary).
+        self.domain = "scale" if normalize else "origin"
         self.bits = bits
         self.return_file_name = return_file_name
         self.wav_length = wav_length

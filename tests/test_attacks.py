@@ -113,6 +113,36 @@ def test_pgd_random_restarts(toy):
     assert float(jnp.max(jnp.abs(adver - x))) <= 0.05 + 1e-5
 
 
+def test_pgd_restarts_match_eager_oracle(toy):
+    """num_random_init=3 semantics vs an independently-written eager loop:
+    per-restart unclipped init noise, iterate/clip, keep the restart with
+    the best whole-batch success rate, first-wins ties (reference
+    PGD.py:54-77)."""
+    m, x, y = toy
+    eps, step, iters, n_res = 0.05, 0.01, 3, 3
+    atk = PGD(m, task="CSI", epsilon=eps, step_size=step, max_iter=iters,
+              num_random_init=n_res)
+    rng = jax.random.PRNGKey(5)
+    adver, success = atk.attack(x, y, rng=rng)
+
+    loss_fn, grad_sign = resolve_loss("Entropy", targeted=False, task="CSI")
+    lower = jnp.clip(x - eps, -1.0)
+    upper = jnp.clip(x + eps, None, 1.0)
+    best_rate, best = -1.0, None
+    for key in jax.random.split(rng, n_res):
+        init_key, _ = jax.random.split(key)
+        xx = x + jax.random.uniform(init_key, x.shape, x.dtype, -eps, eps)
+        for _ in range(iters):
+            g = jax.grad(lambda xv: jnp.sum(loss_fn(m.score(xv), y)))(xx)
+            xx = jnp.clip(xx + step * jnp.sign(g) * grad_sign, lower, upper)
+        pred, _ = m.make_decision(xx)
+        succ = np.asarray(pred) != np.asarray(y)
+        if succ.mean() > best_rate:
+            best_rate, best = succ.mean(), (np.asarray(xx), succ)
+    np.testing.assert_allclose(np.asarray(adver), best[0], atol=1e-6)
+    assert list(success) == list(best[1])
+
+
 def test_targeted_pgd(toy):
     m, x, y = toy
     target = (np.asarray(y) + 1) % 4

