@@ -252,7 +252,10 @@ class FAKEBOB(Attack):
                 unbounded on-device while_loop can spin past the TPU
                 watchdog and crash the worker when the model threshold is
                 unreachable; the host re-dispatches with carried state
-                (lr/ring/count included, so resumption is seamless)."""
+                (lr/ring/count included, so resumption is seamless).
+                The budget is only checked at scan-chunk boundaries, so a
+                dispatch can commit up to 512+chunk-1 (~527) iterations;
+                watchdog headroom is computed against that bound."""
 
                 def cond(c):
                     live = jnp.logical_not(

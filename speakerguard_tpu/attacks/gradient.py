@@ -72,11 +72,17 @@ class PGD(Attack):
             ~50ms dispatch each on a tunneled device).
             params: model pytree (traced for GB-scale models, None for
             MB-scale where closure constants are faster)."""
-            score_fn = lambda xx, key: model.score(  # noqa: E731
+            # The iteration scan needs gradients for sign() steps only, so
+            # it runs the model's fast attack-gradient path (bf16 weight
+            # copies on iv_plda; identity elsewhere).  The FINAL evaluation
+            # that determines success stays on the exact path.
+            score_fast = lambda xx, key: model.score(  # noqa: E731
+                xx, rng=key, params=params, fast=True)
+            score_exact = lambda xx, key: model.score(  # noqa: E731
                 xx, rng=key, params=params)
-            eot_run = eot(score_fn, self.loss_fn, model.threshold,
+            eot_run = eot(score_fast, self.loss_fn, model.threshold,
                           self.EOT_batch_size)
-            eot_ng = eot_no_grad(score_fn, self.loss_fn, model.threshold)
+            eot_ng = eot_no_grad(score_exact, self.loss_fn, model.threshold)
 
             lower, upper = self._bounds(x)
             init_key, loop_key = jax.random.split(rng)

@@ -33,6 +33,7 @@ def parse_args(argv=None):
     parser.add_argument("-batch_size", type=int, default=128)
     parser.add_argument("-wav_length", type=int, default=80_000)
     parser.add_argument("-model_ckpt", type=str, default=None)
+    parser.add_argument("-log", type=str, default=None)
     parser.add_argument("-ori_model_ckpt", type=str, default=None)
     parser.add_argument("-start_epoch", type=int, default=0)
     parser.add_argument("-evaluate_per_epoch", type=int, default=1)
@@ -107,6 +108,14 @@ def main(args):
     train = Spk251_train(spk_ids, args.root, wav_length=args.wav_length,
                          seed=args.seed)
     ckpt_base = args.model_ckpt or "./model_file/audionet-adver"
+    # file logger (reference adver_train.py has the same natural_train
+    # logging pattern)
+    import logging
+    log_path = args.log or f"{ckpt_base}.log"
+    os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+    logger = logging.getLogger("speakerguard.adver_train")
+    logger.setLevel(logging.DEBUG)
+    logger.addHandler(logging.FileHandler(log_path))
     key = jax.random.PRNGKey(args.seed)
     for i_epoch in range(args.num_epoches):
         accs_adv, accs_nor = [], []
@@ -133,6 +142,9 @@ def main(args):
         epoch = i_epoch + args.start_epoch
         print(f"\nEPOCH {epoch}: Acc adv = {np.mean(accs_adv):.4f} "
               f"Acc normal = {np.mean(accs_nor):.4f}")
+        logger.info("EPOCH %d/%d: Acc adv = %.6f Acc normal = %.6f", epoch,
+                    args.num_epoches + args.start_epoch, np.mean(accs_adv),
+                    np.mean(accs_nor))
         save_checkpoint(f"{ckpt_base}_{epoch}", params, state, opt_state,
                         epoch)
         if args.evaluate_per_epoch > 0 and \
@@ -142,6 +154,7 @@ def main(args):
                 msg += ", Val Adver Acc: %f" % validate_adver(
                     params, state, spk_ids, args.root, attack)
             print(msg)
+            logger.info("%s", msg)
     save_checkpoint(ckpt_base, params, state, opt_state,
                     args.num_epoches + args.start_epoch)
 

@@ -89,6 +89,13 @@ def main(args):
     print("load train data done", len(train))
 
     ckpt_base = args.model_ckpt or "./model_file/audionet-natural"
+    # file logger (reference natural_train.py:116-118,172,192)
+    import logging
+    log_path = args.log or f"{ckpt_base}.log"
+    os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+    logger = logging.getLogger("speakerguard.natural_train")
+    logger.setLevel(logging.DEBUG)
+    logger.addHandler(logging.FileHandler(log_path))
     key = jax.random.PRNGKey(args.seed)
     for i_epoch in range(args.num_epoches):
         accs = []
@@ -111,12 +118,15 @@ def main(args):
                   end="\r")
         epoch = i_epoch + args.start_epoch
         print(f"\nEPOCH {epoch}: Acc = {np.mean(accs):.4f}")
+        logger.info("EPOCH %d/%d: Acc = %.6f", epoch,
+                    args.num_epoches + args.start_epoch, np.mean(accs))
         save_checkpoint(f"{ckpt_base}_{epoch}", params, state, opt_state,
                         epoch)
         if args.evaluate_per_epoch > 0 and \
                 i_epoch % args.evaluate_per_epoch == 0:
-            print("Val Acc: %f" % validate(params, state, spk_ids,
-                                           args.root))
+            val_acc = validate(params, state, spk_ids, args.root)
+            print("Val Acc: %f" % val_acc)
+            logger.info("Val Acc: %.6f", val_acc)
     save_checkpoint(ckpt_base, params, state, opt_state,
                     args.num_epoches + args.start_epoch)
 

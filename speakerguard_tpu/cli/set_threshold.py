@@ -71,20 +71,27 @@ def main(args):
         score_untarget_sv += s.tolist()
         score_untarget_osi.append(float(s.max()))
 
-    thr, frr, far = set_threshold(score_target_sv, score_untarget_sv)
+    thr_sv, frr, far = set_threshold(score_target_sv, score_untarget_sv)
+    eer_sv = max(frr, far)
     print(f"----- Test of {args.system_type}-based SV, result ---> "
-          f"threshold: {thr:.2f} EER: {max(frr, far):.2f}")
+          f"threshold: {thr_sv:.2f} EER: {eer_sv:.2f}")
 
-    thr, frr, far = set_threshold(score_target_osi, score_untarget_osi)
+    thr_osi, frr, far = set_threshold(score_target_osi, score_untarget_osi)
+    eer_osi = max(frr, far)
     max_scores = np.asarray(max_scores)
     decisions = np.asarray(decisions)
     trues_a = np.asarray(trues)
-    ier_cnt = int(np.sum((max_scores >= thr) & (decisions != trues_a)))
+    ier_cnt = int(np.sum((max_scores >= thr_osi) & (decisions != trues_a)))
     ier = ier_cnt * 100 / len(trues)
     print(f"----- Test of {args.system_type}-based OSI, result ---> "
-          f"threshold: {thr:.2f}, EER: {max(frr, far):.2f}, "
+          f"threshold: {thr_osi:.2f}, EER: {eer_osi:.2f}, "
           f"IER: {ier:.2f} -----")
-    print("CSI ACC:", acc_cnt * 100 / len(test))
+    csi_acc = acc_cnt * 100 / len(test)
+    print("CSI ACC:", csi_acc)
+    # returned for programmatic use (tools/verify_pretrained.py)
+    return {"sv_threshold": thr_sv, "sv_eer": eer_sv,
+            "osi_threshold": thr_osi, "osi_eer": eer_osi, "osi_ier": ier,
+            "csi_acc": csi_acc}
 
 
 if __name__ == "__main__":

@@ -93,6 +93,12 @@ def main(args):
         print("L2, SNR, PESQ, STOI: {:.3f} {:.2f} {} {:.3f}".format(
             means[0], means[4],
             "n/a" if np.isnan(means[5]) else f"{means[5]:.2f}", means[6]))
+        try:
+            import pesq  # noqa: F401
+        except ImportError:
+            print("note: PESQ/STOI computed by the native implementations "
+                  "(metrics/pesq_native.py caveats apply); install "
+                  "pesq/pystoi for ITU-certified values")
 
 
 if __name__ == "__main__":

@@ -29,20 +29,79 @@ _GDRIVE_IDS = {
 }
 
 
+def gdrive_download(file_id: str, dest_path: str, opener=None) -> str:
+    """gdown-equivalent Google Drive fetch (reference Dataset.py:40-48 uses
+    gdown).  Large files are served an HTML interstitial instead of the
+    payload; this follows the confirm flow like gdown does:
+
+      1. GET drive.google.com/uc?id=...&export=download
+      2. if the response is HTML, extract either the modern
+         drive.usercontent.google.com form (hidden inputs incl. uuid) or
+         the legacy download_warning cookie / confirm= token
+      3. re-request with the confirmation attached
+
+    `opener` is injectable for tests (a urllib-style object with
+    .open(url) -> response having .headers/.read())."""
+    import re
+    import shutil
+    import urllib.parse
+    import urllib.request
+    import http.cookiejar
+
+    if opener is None:
+        cj = http.cookiejar.CookieJar()
+        opener = urllib.request.build_opener(
+            urllib.request.HTTPCookieProcessor(cj))
+    else:
+        cj = []
+
+    def save(resp):
+        with open(dest_path, "wb") as f:
+            shutil.copyfileobj(resp, f)
+        return dest_path
+
+    url = (f"https://drive.google.com/uc?id={file_id}&export=download")
+    with opener.open(url) as resp:
+        if "text/html" not in resp.headers.get("Content-Type", ""):
+            return save(resp)
+        html = resp.read().decode("utf-8", "replace")
+
+    # modern form: action="https://drive.usercontent.google.com/download"
+    # with hidden <input name=... value=...> fields (id/export/confirm/uuid)
+    action = re.search(r'<form[^>]+action="([^"]+)"', html)
+    fields = dict(re.findall(r'<input[^>]+name="([^"]+)"[^>]+value="([^"]*)"',
+                             html))
+    if action and fields.get("id"):
+        confirm_url = f"{action.group(1)}?{urllib.parse.urlencode(fields)}"
+    else:
+        # legacy confirm token: download_warning cookie or confirm= link
+        token = next((c.value for c in cj
+                      if c.name.startswith("download_warning")), None)
+        if token is None:
+            m = re.search(r"confirm=([0-9A-Za-z_-]+)", html)
+            token = m.group(1) if m else "t"
+        confirm_url = url + f"&confirm={token}"
+    with opener.open(confirm_url) as resp:
+        ct = resp.headers.get("Content-Type", "")
+        if "text/html" in ct:
+            raise RuntimeError(
+                f"Google Drive still returned HTML for {file_id}; the file "
+                "may be rate-limited or the quota exceeded — download "
+                "manually with gdown and untar into the dataset root")
+        return save(resp)
+
+
 def download_dataset(name: str, dest_dir: str) -> str:
     """Auto-download + untar a named dataset (reference Dataset.py:40-48).
     Requires network; callers opt in (the Dataset constructor attempts it
     only when SPEAKERGUARD_DOWNLOAD=1, since most deployments are airgapped
     and prefer the actionable FileNotFoundError)."""
     import tarfile
-    import urllib.request
     if name not in _GDRIVE_IDS:
         raise NotImplementedError(f"No download url for {name}")
-    url = (f"https://drive.google.com/uc?id={_GDRIVE_IDS[name]}"
-           f"&export=download")
     os.makedirs(dest_dir, exist_ok=True)
     tar_path = os.path.join(dest_dir, f"{name}.tar.gz")
-    urllib.request.urlretrieve(url, tar_path)
+    gdrive_download(_GDRIVE_IDS[name], tar_path)
     with tarfile.open(tar_path, "r:gz") as tf:
         tf.extractall(dest_dir, filter="data")
     return os.path.join(dest_dir, name)

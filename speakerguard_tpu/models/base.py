@@ -29,6 +29,22 @@ from speakerguard_tpu.utils.ranges import check_input_range
 NEG_INF = float("-inf")
 
 
+def fast_active() -> bool:
+    """Gate for the bf16 fast attack-gradient path (SG_FAST={auto,0,1}).
+
+    auto (default): active only on TPU — off-TPU (the CPU test mesh) the
+    bf16 copies would change numerics without any speed benefit, and parity
+    tests compare exact paths.  Attacks request fast=True for gradient-step
+    graphs; models call this gate before honoring it."""
+    import os
+    mode = os.environ.get("SG_FAST", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def decide(scores: jnp.ndarray, threshold: float):
     """argmax + reject threshold (reference iv_plda.py:182-194)."""
     decisions = jnp.argmax(scores, axis=1).astype(jnp.int32)
@@ -87,7 +103,7 @@ class SRSModel:
     def _feat_step(self, feats, ori_flag, p=None):
         raise NotImplementedError
 
-    def _embedding_from_top(self, feats, p=None):
+    def _embedding_from_top(self, feats, p=None, fast=False):
         raise NotImplementedError
 
     def _scores_from_emb(self, emb, enroll_embs=None, p=None):
@@ -112,7 +128,10 @@ class SRSModel:
             feats = self._feat_step(feats, f, p=p)
         return feats
 
-    def embedding(self, x, flag=0, rng=None, params=None):
+    def embedding(self, x, flag=0, rng=None, params=None, fast=False):
+        # fast=True marks an attack-gradient graph: models with a bf16
+        # fast path (iv_plda) honor it; others ignore it.  Callers keep
+        # their final success evaluation on the exact (fast=False) path.
         assert flag in self.allowed_flags
         p = self.resolve_params(params)
         top = self.allowed_flags[-1]
@@ -123,23 +142,24 @@ class SRSModel:
                                                des_flag=top, params=p)
         else:
             feats = x
-        return self._embedding_from_top(feats, p=p)
+        return self._embedding_from_top(feats, p=p, fast=fast)
 
     def forward(self, x, flag=0, return_emb=False, enroll_embs=None,
-                rng=None, params=None):
+                rng=None, params=None, fast=False):
         p = self.resolve_params(params)
-        emb = self.embedding(x, flag=flag, rng=rng, params=p)
+        emb = self.embedding(x, flag=flag, rng=rng, params=p, fast=fast)
         scores = self._scores_from_emb(emb, enroll_embs=enroll_embs, p=p)
         return (scores, emb) if return_emb else scores
 
-    def score(self, x, flag=0, enroll_embs=None, rng=None, params=None):
+    def score(self, x, flag=0, enroll_embs=None, rng=None, params=None,
+              fast=False):
         return self.forward(x, flag=flag, enroll_embs=enroll_embs, rng=rng,
-                            params=params)
+                            params=params, fast=fast)
 
     def make_decision(self, x, flag=0, enroll_embs=None, rng=None,
-                      params=None):
+                      params=None, fast=False):
         scores = self.score(x, flag=flag, enroll_embs=enroll_embs, rng=rng,
-                            params=params)
+                            params=params, fast=fast)
         return decide(scores, self.threshold)
 
     # ---- reference-API aliases (iv_plda.py:197, :380) ----

@@ -90,39 +90,43 @@ class DefendedModel(SRSModel):
         return xx, flags[-1]
 
     # ------------------------------------------------------------------
-    def embedding(self, x, rng=None, flag=0, params=None):
+    def embedding(self, x, rng=None, flag=0, params=None, fast=False):
         p = self.resolve_params(params)
         if self.defense is None:
-            return self.base_model.embedding(x, flag=0, rng=rng, params=p)
+            return self.base_model.embedding(x, flag=0, rng=rng, params=p,
+                                             fast=fast)
         if self.order == SEQUENTIAL:
             xx, top = self.process_sequential(x, rng=rng, params=p)
-            return self.base_model.embedding(xx, flag=top, params=p)
+            return self.base_model.embedding(xx, flag=top, params=p,
+                                             fast=fast)
         return self._average(x, rng, want="emb", params=p)
 
     def forward(self, x, return_emb=False, enroll_embs=None, rng=None,
-                flag=0, params=None):
+                flag=0, params=None, fast=False):
         p = self.resolve_params(params)
         if self.defense is None:
             return self.base_model.forward(x, flag=0, return_emb=return_emb,
                                            enroll_embs=enroll_embs, rng=rng,
-                                           params=p)
+                                           params=p, fast=fast)
         if self.order == SEQUENTIAL:
             xx, top = self.process_sequential(x, rng=rng, params=p)
             return self.base_model.forward(xx, flag=top,
                                            return_emb=return_emb,
-                                           enroll_embs=enroll_embs, params=p)
+                                           enroll_embs=enroll_embs, params=p,
+                                           fast=fast)
         scores, emb = self._average(x, rng, want="both",
                                     enroll_embs=enroll_embs, params=p)
         return (scores, emb) if return_emb else scores
 
-    def score(self, x, enroll_embs=None, rng=None, flag=0, params=None):
+    def score(self, x, enroll_embs=None, rng=None, flag=0, params=None,
+              fast=False):
         return self.forward(x, enroll_embs=enroll_embs, rng=rng,
-                            params=params)
+                            params=params, fast=fast)
 
     def make_decision(self, x, enroll_embs=None, rng=None, flag=0,
-                      params=None):
+                      params=None, fast=False):
         scores = self.score(x, enroll_embs=enroll_embs, rng=rng,
-                            params=params)
+                            params=params, fast=fast)
         return decide(scores, self.base_model.threshold)
 
     # ------------------------------------------------------------------

@@ -55,6 +55,10 @@ class FullGMMParams(NamedTuple):
     invcovars: jax.Array        # (C, D, D) symmetric
     means: jax.Array            # (C, D) = InvCov^-1 @ means_invcovars
     quad_proj: jax.Array        # (D + D(D+1)//2, C) packed projection
+    # bf16 copy of quad_proj for the fast attack-gradient path: halves the
+    # HBM bytes of the loglike matmul's weight read and enables single-pass
+    # MXU matmuls (f32 accumulation).  None only for hand-rolled tuples.
+    quad_proj_bf16: jax.Array = None
 
     @property
     def num_gaussians(self) -> int:
@@ -88,6 +92,7 @@ def build_gmm(gconsts: np.ndarray, weights: np.ndarray,
         invcovars=jnp.asarray(invcovars, jnp.float32),
         means=jnp.asarray(means, jnp.float32),
         quad_proj=jnp.asarray(proj, jnp.float32),
+        quad_proj_bf16=jnp.asarray(proj, jnp.bfloat16),
     )
 
 
@@ -233,34 +238,105 @@ def _loglike_fused_bwd(res, gbar):
 _loglike_fused.defvjp(_loglike_fused_fwd, _loglike_fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fast attack-gradient path: bf16 weight reads, single-pass MXU, f32 accum
+# ---------------------------------------------------------------------------
+# Attack iteration bodies need gradients for sign() steps and a loss whose
+# exact value never reaches the user (final success is re-evaluated on the
+# exact path) — so the scan-body loglike runs on the bf16 copy of quad_proj
+# with DEFAULT (single-pass) matmuls and f32 accumulation.  Halves the HBM
+# bytes of the dominant weight read AND drops HIGH's 3-pass MXU cost.
+
+
+def fast_dot_dtype():
+    """bf16 on TPU; f32 elsewhere (XLA:CPU cannot execute BF16xBF16=F32
+    dot thunks).  Off-TPU the operands are still bf16-ROUNDED (the stored
+    copies), so SG_FAST=1 CPU tests exercise the same value-level drift."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+@jax.custom_vjp
+def _loglike_fast(quad_proj_bf16, gconsts, feats):
+    d = feats.shape[-1]
+    dt = fast_dot_dtype()
+    aug = _augment(feats.astype(dt), d)
+    out = jnp.matmul(aug, quad_proj_bf16.astype(dt),
+                     preferred_element_type=jnp.float32)
+    return out + gconsts
+
+
+def _loglike_fast_fwd(quad_proj_bf16, gconsts, feats):
+    return _loglike_fast(quad_proj_bf16, gconsts, feats), (quad_proj_bf16,
+                                                           feats)
+
+
+def _loglike_fast_bwd(res, gbar):
+    quad_proj_bf16, feats = res
+    d = feats.shape[-1]
+    dt = fast_dot_dtype()
+    daug = jnp.einsum("btc,fc->btf", gbar.astype(dt),
+                      quad_proj_bf16.astype(dt),
+                      preferred_element_type=jnp.float32)
+    grad_x = _aug_ops(d)[1](feats, daug, precision=BWD_PRECISION)
+    return (jnp.zeros_like(quad_proj_bf16),
+            jnp.zeros(quad_proj_bf16.shape[1], gbar.dtype), grad_x)
+
+
+_loglike_fast.defvjp(_loglike_fast_fwd, _loglike_fast_bwd)
+
+
 def component_loglike(params: FullGMMParams, feats: jnp.ndarray,
-                      precision=HOT_PRECISION) -> jnp.ndarray:
+                      precision=None, fast=False) -> jnp.ndarray:
     """feats: (..., T, D) -> per-component loglike (..., T, C).
 
-    (..., T, C) always routes through the custom-VJP wrapper so the
-    backward runs the packed form at BWD_PRECISION; the primal is the
-    HIGH-precision packed matmul (or the Pallas kernel under
-    SG_GMM_PALLAS=1 — see the note above _use_pallas).
+    (..., T, C) always routes through a custom-VJP wrapper so the backward
+    runs the packed form at BWD_PRECISION; the primal is the HIGH-precision
+    packed matmul (or the Pallas kernel under SG_GMM_PALLAS=1 — see the
+    note above _use_pallas).  `precision` applies only to the 2-D path;
+    for the batched 3-D path SG_GMM_PRECISION is the only knob (passing an
+    explicit precision there raises instead of being silently ignored).
+    With fast=True (3-D only) the bf16 single-pass attack-gradient variant
+    runs instead — callers gate this on the final-eval path being exact.
     """
     if feats.ndim == 3:
-        return _loglike_fused(params.quad_proj, params.gconsts,
-                              params.means_invcovars, params.invcovars,
-                              feats)
-    return _loglike_jnp(params, feats, precision=precision)
+        assert precision is None, \
+            "3-D loglike precision is controlled by SG_GMM_PRECISION"
+        if fast:
+            assert params.quad_proj_bf16 is not None
+            sg = jax.lax.stop_gradient
+            return _loglike_fast(sg(params.quad_proj_bf16),
+                                 sg(params.gconsts), feats)
+        # _loglike_fused's custom VJP returns zero cotangents for the GMM
+        # parameters (attacks differentiate wrt feats only).  stop_gradient
+        # here makes that contract explicit at the call site: if GMM params
+        # ever become trainable, the zero gradient traces back to THIS line
+        # rather than silently flowing out of the custom VJP.
+        sg = jax.lax.stop_gradient
+        return _loglike_fused(sg(params.quad_proj), sg(params.gconsts),
+                              sg(params.means_invcovars),
+                              sg(params.invcovars), feats)
+    return _loglike_jnp(params, feats,
+                        precision=(HOT_PRECISION if precision is None
+                                   else precision))
 
 
-def posteriors(params: FullGMMParams, feats: jnp.ndarray) -> jnp.ndarray:
-    return jax.nn.softmax(component_loglike(params, feats), axis=-1)
+def posteriors(params: FullGMMParams, feats: jnp.ndarray,
+               fast=False) -> jnp.ndarray:
+    return jax.nn.softmax(component_loglike(params, feats, fast=fast),
+                          axis=-1)
 
 
-def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray):
+def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray,
+                       fast=False):
     """feats: (B, T, D) -> (zeroth (B, C), first (B, C, D)).
 
     Matches reference gmm.py:166-171 (sum of posteriors / posterior-weighted
-    frame sum) without the frame-batching loop.
+    frame sum) without the frame-batching loop.  fast=True runs the bf16
+    single-pass attack-gradient variant (see component_loglike).
     """
-    posts = posteriors(params, feats)              # (B, T, C)
+    posts = posteriors(params, feats, fast=fast)   # (B, T, C)
     zeroth = jnp.sum(posts, axis=-2)               # (B, C)
     first = jnp.einsum("btc,btd->bcd", posts, feats,
-                       precision=HOT_PRECISION)
+                       precision=(jax.lax.Precision.DEFAULT if fast
+                                  else HOT_PRECISION))
     return zeroth, first

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from speakerguard_tpu.models.base import SRSModel, NEG_INF
+from speakerguard_tpu.models.base import SRSModel, NEG_INF, fast_active
 from speakerguard_tpu.models import gmm as gmm_mod
 from speakerguard_tpu.models import ivector as iv_mod
 from speakerguard_tpu.models import plda as plda_mod
@@ -86,14 +86,20 @@ def process_emb(params: IvPldaParams, ivec: jnp.ndarray) -> jnp.ndarray:
                                       normalize_length=True)
 
 
-def embedding_from_cmvn(params: IvPldaParams, feats: jnp.ndarray
-                        ) -> jnp.ndarray:
-    """(B, T, D) CMVN features -> (B, R) processed embeddings."""
+def embedding_from_cmvn(params: IvPldaParams, feats: jnp.ndarray,
+                        fast=False) -> jnp.ndarray:
+    """(B, T, D) CMVN features -> (B, R) processed embeddings.
+
+    fast=True runs the bf16 attack-gradient variant of the GMM stats and
+    i-vector extraction (see gmm._loglike_fast / ivector._quad_contract_fast
+    for why); scores drift at the bf16 level, so callers must keep the
+    final success evaluation on the exact path."""
     assert feats.shape[-1] == params.fgmm.dim, (
         f"feature dim {feats.shape[-1]} != UBM dim {params.fgmm.dim}; "
         "check num_ceps (features are num_ceps*3 after deltas)")
-    zeroth, first = gmm_mod.zeroth_first_stats(params.fgmm, feats)
-    ivec = iv_mod.extract_ivectors(params.extractor, zeroth, first)
+    zeroth, first = gmm_mod.zeroth_first_stats(params.fgmm, feats, fast=fast)
+    ivec = iv_mod.extract_ivectors(params.extractor, zeroth, first,
+                                   fast=fast)
     return process_emb(params, ivec)
 
 
@@ -137,9 +143,9 @@ class IvPlda(SRSModel):
             return sliding_cmvn(feats)
         raise ValueError(ori_flag)
 
-    def _embedding_from_top(self, feats, p=None):
+    def _embedding_from_top(self, feats, p=None, fast=False):
         return embedding_from_cmvn(p if p is not None else self.params,
-                                   feats)
+                                   feats, fast=fast and fast_active())
 
     def _scores_from_emb(self, emb, enroll_embs=None, p=None):
         enroll = enroll_embs if enroll_embs is not None else self.enroll_embs

@@ -31,6 +31,12 @@ class IvectorExtractorParams(NamedTuple):
     offset: jax.Array            # scalar prior offset
     quad_packed: jax.Array       # (C, IV(IV+1)/2) upper-tri of T^T Sigma^-1 T
     proj: jax.Array              # (C, IV, D)
+    # bf16 copies for the fast attack-gradient path: the quad contract is
+    # the single biggest HBM read of an iv-PLDA attack iteration (1.48 GB
+    # at full size, touched forward AND backward every iteration) — the
+    # bf16 copies halve those bytes.  None only for hand-rolled tuples.
+    quad_packed_bf16: jax.Array = None
+    proj_bf16: jax.Array = None
 
     @property
     def num_gaussians(self):
@@ -72,6 +78,8 @@ def build_extractor(extractor_matrix: np.ndarray, sigma_inv: np.ndarray,
         offset=jnp.asarray(offset, jnp.float32),
         quad_packed=quad_packed,
         proj=proj,
+        quad_packed_bf16=quad_packed.astype(jnp.bfloat16),
+        proj_bf16=proj.astype(jnp.bfloat16),
     )
 
 
@@ -135,14 +143,17 @@ def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 def _spd_solve_fwd(l_mat, rhs):
     factor, lower = _chol_factor(l_mat)
     x = _chol_apply(factor, lower, rhs)
-    return x, (factor, x)
+    # Carry the factor in LOWER form so the backward is orientation-agnostic
+    # (re-reading SG_CHOL_PALLAS at backward-trace time could disagree with
+    # the forward's choice if the env flips between traces; the transpose is
+    # free — XLA folds it into the triangular solve's transpose_a).
+    fac_lower = factor if lower else jnp.swapaxes(factor, -1, -2)
+    return x, (fac_lower, x)
 
 
 def _spd_solve_bwd(res, g):
-    factor, x = res
-    # the factor's lower/upper-ness is a process-stable config, not a
-    # residual: recompute it the same way _chol_factor decided it
-    u = _chol_apply(factor, lower=not _use_pallas_chol(), v=g)
+    fac_lower, x = res
+    u = _chol_apply(fac_lower, lower=True, v=g)
     grad_l = -jnp.einsum("bi,bj->bij", u, x)
     return grad_l, u
 
@@ -209,11 +220,42 @@ def _qc_bwd(quad_packed, cot):
 _quad_contract.defvjp(_qc_fwd, _qc_bwd)
 
 
+@jax.custom_vjp
+def _quad_contract_fast(zeroth, quad_packed_bf16):
+    """bf16 variant for attack-gradient graphs: halves the HBM bytes of the
+    dominant weight read in both directions; f32 accumulation on the MXU.
+    Off-TPU the dot degrades to f32 compute on the bf16-rounded weights
+    (see gmm.fast_dot_dtype)."""
+    from speakerguard_tpu.models.gmm import fast_dot_dtype
+    dt = fast_dot_dtype()
+    return jnp.einsum("bc,cp->bp", zeroth.astype(dt),
+                      quad_packed_bf16.astype(dt),
+                      preferred_element_type=jnp.float32)
+
+
+def _qcf_fwd(zeroth, quad_packed_bf16):
+    return _quad_contract_fast(zeroth, quad_packed_bf16), quad_packed_bf16
+
+
+def _qcf_bwd(quad_packed_bf16, cot):
+    from speakerguard_tpu.models.gmm import fast_dot_dtype
+    dt = fast_dot_dtype()
+    gz = jnp.einsum("bp,cp->bc", cot.astype(dt),
+                    quad_packed_bf16.astype(dt),
+                    preferred_element_type=jnp.float32)
+    return gz, jnp.zeros_like(quad_packed_bf16)
+
+
+_quad_contract_fast.defvjp(_qcf_fwd, _qcf_bwd)
+
+
 def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
-                     first: jnp.ndarray) -> jnp.ndarray:
+                     first: jnp.ndarray, fast=False) -> jnp.ndarray:
     """zeroth: (B, C), first: (B, C, D) -> ivectors (B, IV).
 
     Matches reference ivector_extract.py:98-114 (Extractivector), batched.
+    fast=True uses the bf16 parameter copies (attack-gradient path only;
+    the SPD solve stays f32).
     """
     iv = params.ivector_dim
     # packed-symmetric accumulation: one (B, C) @ (C, IV(IV+1)/2) matmul
@@ -221,10 +263,21 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
     # a cheap gather-unpack of the (B, P) result.  Forward at HIGH (score
     # parity); cotangent at BWD_PRECISION (gradients feed sign() steps).
     from speakerguard_tpu.models.gmm import HOT_PRECISION
-    l_packed = _quad_contract(zeroth, params.quad_packed)
+    if fast:
+        assert params.quad_packed_bf16 is not None
+        from speakerguard_tpu.models.gmm import fast_dot_dtype
+        dt = fast_dot_dtype()
+        sg = jax.lax.stop_gradient
+        l_packed = _quad_contract_fast(zeroth, sg(params.quad_packed_bf16))
+        linear = jnp.einsum("cid,bcd->bi",
+                            sg(params.proj_bf16).astype(dt),
+                            first.astype(dt),
+                            preferred_element_type=jnp.float32)
+    else:
+        l_packed = _quad_contract(zeroth, params.quad_packed)
+        linear = jnp.einsum("cid,bcd->bi", params.proj, first,
+                            precision=HOT_PRECISION)
     l_mat = _sym_unpack(iv)(l_packed) + jnp.eye(iv, dtype=l_packed.dtype)
-    linear = jnp.einsum("cid,bcd->bi", params.proj, first,
-                        precision=HOT_PRECISION)
     linear = linear.at[:, 0].add(params.offset)
     # L is SPD by construction (I + sum of PSD terms): Cholesky solve with
     # an implicit-function-theorem VJP.  (Also essential on TPU: the

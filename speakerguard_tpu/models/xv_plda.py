@@ -103,7 +103,7 @@ class XvPlda(SRSModel):
             return sliding_cmvn(feats)
         raise ValueError(ori_flag)
 
-    def _embedding_from_top(self, feats, p=None):
+    def _embedding_from_top(self, feats, p=None, fast=False):
         p = p if p is not None else self.params
         emb = tdnn_embedding(p.tdnn, feats)
         return process_emb(p, emb)

@@ -45,7 +45,7 @@ class ToyModel(SRSModel):
         # (B, T, F) like real acoustic features (FeCo etc. need 3-D)
         return wav.reshape(b, length // self.frame, self.frame)
 
-    def _embedding_from_top(self, feats, p=None):
+    def _embedding_from_top(self, feats, p=None, fast=False):
         return feats.mean(-1)
 
     def _feat_step(self, feats, ori_flag, p=None):

@@ -1,0 +1,88 @@
+"""Fast attack-gradient path (bf16 parameter copies, SG_FAST).
+
+On TPU the PGD-family iteration scan runs the model's `fast=True` variant
+(bf16 quad_proj / quad_packed / proj copies, single-pass MXU matmuls) while
+the final success evaluation stays exact.  Off-TPU the gate
+(models.base.fast_active) disables it, so these tests force SG_FAST=1 and
+use bf16-appropriate tolerances.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speakerguard_tpu.models.iv_plda import IvPlda, random_iv_plda_params
+
+
+@pytest.fixture(scope="module")
+def small_iv():
+    rng = np.random.default_rng(11)
+    params = random_iv_plda_params(rng, num_gaussians=128, dim=72,
+                                   ivector_dim=64, reduced_dim=32)
+    model = IvPlda(params)
+    enroll = jnp.asarray(rng.standard_normal((3, 32)).astype(np.float32))
+    model.set_enrollment(["a", "b", "c"], enroll)
+    wavs = jnp.asarray(
+        (rng.uniform(-0.3, 0.3, (2, 8000)) * 32768).astype(np.float32))
+    return model, wavs
+
+
+def test_fast_gate_defaults_off_on_cpu(small_iv, monkeypatch):
+    """fast=True is a no-op off-TPU unless forced: identical scores."""
+    monkeypatch.delenv("SG_FAST", raising=False)
+    model, wavs = small_iv
+    exact = np.asarray(model.score(wavs))
+    gated = np.asarray(model.score(wavs, fast=True))
+    np.testing.assert_array_equal(exact, gated)
+
+
+def test_fast_scores_close(small_iv, monkeypatch):
+    model, wavs = small_iv
+    exact = np.asarray(model.score(wavs))
+    monkeypatch.setenv("SG_FAST", "1")
+    fast = np.asarray(model.score(wavs, fast=True))
+    # bf16-rounded weight copies on a tiny ill-conditioned random fixture:
+    # allow ~10% of the score spread (real Kaldi systems measured ~3%
+    # drift in r2; the authoritative check is on-chip ASR parity)
+    spread = np.abs(exact).max()
+    assert np.abs(fast - exact).max() < 0.12 * max(spread, 1.0)
+
+
+def test_fast_grad_direction_agrees(small_iv, monkeypatch):
+    model, wavs = small_iv
+
+    def loss(x, fast):
+        return jnp.sum(model.score(x, fast=fast)[:, 0])
+
+    g_exact = jax.grad(lambda x: loss(x, False))(wavs)
+    monkeypatch.setenv("SG_FAST", "1")
+    g_fast = jax.grad(lambda x: loss(x, True))(wavs)
+    ge, gf = np.asarray(g_exact).ravel(), np.asarray(g_fast).ravel()
+    cos = np.dot(ge, gf) / (np.linalg.norm(ge) * np.linalg.norm(gf))
+    # the tiny random fixture is ill-conditioned (cos ~0.87 measured);
+    # real-scale models track much closer — on-chip ASR parity is the
+    # authoritative acceptance test for the fast path
+    assert cos > 0.8
+    # sign agreement is what PGD actually consumes
+    nz = np.abs(ge) > np.abs(ge).max() * 1e-3
+    agree = np.mean(np.sign(ge[nz]) == np.sign(gf[nz]))
+    assert agree > 0.8
+
+
+def test_pgd_with_forced_fast_stays_in_ball(small_iv, monkeypatch):
+    """The attack runs the fast body + exact final eval; the epsilon-ball
+    property is precision-independent."""
+    from speakerguard_tpu.attacks import PGD
+    monkeypatch.setenv("SG_FAST", "1")
+    model, wavs = small_iv
+    x = wavs / (2.0 ** 15)
+    y, _ = model.make_decision(x)
+    atk = PGD(model, task="CSI", epsilon=0.01, step_size=0.002, max_iter=3)
+    adver, success = atk.attack(x, y, rng=jax.random.PRNGKey(0))
+    assert float(jnp.max(jnp.abs(adver - x))) <= 0.01 + 1e-6
+    # success is evaluated on the exact path: recomputing decisions on the
+    # exact model must reproduce the returned success vector
+    d, _ = model.make_decision(adver)
+    assert [bool(int(di) != int(yi)) for di, yi in
+            zip(np.asarray(d), np.asarray(y))] == list(success)

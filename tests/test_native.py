@@ -82,12 +82,13 @@ def test_dataset_auto_download(tmp_path, monkeypatch, rng):
     with tarfile.open(fileobj=buf, mode="w:gz") as tf:
         tf.add(str(tmp_path / "stage" / "Spk10_test"), arcname="Spk10_test")
 
-    def fake_retrieve(url, path):
-        assert "drive.google.com" in url
+    def fake_gdrive(file_id, path, opener=None):
+        assert file_id == D._GDRIVE_IDS["Spk10_test"]
         with open(path, "wb") as f:
             f.write(buf.getvalue())
+        return path
 
-    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    monkeypatch.setattr(D, "gdrive_download", fake_gdrive)
     root = str(tmp_path / "data")
 
     with pytest.raises(FileNotFoundError, match="SPEAKERGUARD_DOWNLOAD"):
