@@ -127,33 +127,45 @@ def _chol_apply(factor, lower: bool, v):
     return x[..., 0]
 
 
+def _spd_solve_impl(l_mat, rhs):
+    """Default: Cholesky factor (Pallas kernel on TPU) + two XLA
+    triangular solves.  SG_CHOL_PALLAS=fused switches to the fused
+    [A|v] -> x Pallas kernel (ops/pallas_chol.chol_solve): measured
+    SLOWER on v5e at (128, 600, 600) — ~33 ms net vs ~22 net for the
+    factor+triangular path, because its VMEM-capped batch tile doubles
+    the number of sequential sweep repetitions — so it stays opt-in
+    (exact to 8e-7 rel; see ARCHITECTURE perf notes)."""
+    import os
+    if os.environ.get("SG_CHOL_PALLAS") == "fused":
+        from speakerguard_tpu.ops.pallas_chol import chol_solve
+        interpret = jax.default_backend() != "tpu"
+        return chol_solve(l_mat, rhs, interpret=interpret)
+    factor, lower = _chol_factor(l_mat)
+    return _chol_apply(factor, lower, rhs)
+
+
 @jax.custom_vjp
 def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Batched SPD solve x = L^-1 rhs via Cholesky.  l_mat: (B, N, N)
     symmetric positive definite; rhs: (B, N).
 
-    Custom VJP uses the implicit function theorem with the SAME Cholesky
-    factor (grad_rhs = L^-1 g; grad_L = -outer(grad_rhs, x)) instead of
-    differentiating through the factorization — much cheaper to compile and
-    run than autodiff of cholesky on TPU."""
-    factor, lower = _chol_factor(l_mat)
-    return _chol_apply(factor, lower, rhs)
+    Custom VJP uses the implicit function theorem (grad_rhs = L^-1 g;
+    grad_L = -outer(grad_rhs, x)) instead of differentiating through the
+    factorization — much cheaper to compile and run than autodiff of
+    cholesky on TPU.  The backward re-solves against the SAVED MATRIX
+    (refactorization is ~free in the fused kernel, and carrying the matrix
+    instead of the factor keeps the residual orientation-free)."""
+    return _spd_solve_impl(l_mat, rhs)
 
 
 def _spd_solve_fwd(l_mat, rhs):
-    factor, lower = _chol_factor(l_mat)
-    x = _chol_apply(factor, lower, rhs)
-    # Carry the factor in LOWER form so the backward is orientation-agnostic
-    # (re-reading SG_CHOL_PALLAS at backward-trace time could disagree with
-    # the forward's choice if the env flips between traces; the transpose is
-    # free — XLA folds it into the triangular solve's transpose_a).
-    fac_lower = factor if lower else jnp.swapaxes(factor, -1, -2)
-    return x, (fac_lower, x)
+    x = _spd_solve_impl(l_mat, rhs)
+    return x, (l_mat, x)
 
 
 def _spd_solve_bwd(res, g):
-    fac_lower, x = res
-    u = _chol_apply(fac_lower, lower=True, v=g)
+    l_mat, x = res
+    u = _spd_solve_impl(l_mat, g)
     grad_l = -jnp.einsum("bi,bj->bij", u, x)
     return grad_l, u
 

@@ -130,6 +130,190 @@ def _make_kernel(b_tile, n_pad, nb, ob):
     return kernel
 
 
+def _make_solve_kernel(b_tile, n_pad, nb, ob):
+    """Fused SPD solve: phase 1 = the cholesky_rt sweep on the AUGMENTED
+    matrix [A | v] (the augmented lane block rides every row operation, so
+    after the sweep it holds y = R^{-T} v); phase 2 = blocked Gauss-Jordan
+    UPWARD elimination (normalize pivot rows by the diagonal, subtract
+    from rows above) which leaves [I | x] with x = A^{-1} v.
+
+    Why: XLA's 1-RHS batched triangular_solve on (128, 600, 600) costs
+    ~20 ms per call (sequential While with tiny per-step work) and
+    spd_solve needs four of them per attack iteration — measured ~45 ms,
+    the single largest cost of the iv-PLDA hot path.  Here both
+    substitutions are ~N in-VMEM VPU steps amortized against the same
+    MXU trailing updates the factorization already does."""
+    n_outer = n_pad // ob
+    w_aug = n_pad + 128  # one extra 128-lane block carries v / y / x
+
+    def kernel(a_ref, m_ref):
+        m_ref[:] = a_ref[:]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]  # (nb,)
+        hi = jax.lax.Precision.HIGHEST
+
+        def bdot(x, y):
+            return jax.lax.dot_general(
+                x, y, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=hi)
+
+        # ---- phase 1: Cholesky forward sweep over [A | v] ----
+        for o in range(n_outer):             # static
+            os_ = o * ob
+            w = w_aug - os_
+            lane = os_ + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+            for ip in range(ob // nb):       # static
+                s = os_ + ip * nb
+
+                def step(j, pan):
+                    onehot = (sub == j).astype(jnp.float32)
+                    rowj = jnp.sum(pan * onehot[None, :, None], axis=1)
+                    # keep lanes >= pivot plus the augmented block
+                    keep = jnp.logical_or(lane >= s + j, lane >= n_pad)
+                    rowj = jnp.where(keep, rowj, 0.0)
+                    diag = jnp.sum(
+                        jnp.where(lane == s + j, rowj, 0.0), axis=-1,
+                        keepdims=True)
+                    rsq = jax.lax.rsqrt(diag)
+                    rowj = rowj * rsq
+                    coef = rowj[:, s - os_:s - os_ + nb]
+                    c = (jnp.where(sub[None, :] > j, coef, 0.0)
+                         + onehot[None, :] * (diag * rsq - 1.0))
+                    return pan - c[:, :, None] * rowj[:, None, :]
+                pan = jax.lax.fori_loop(0, nb, step, m_ref[:, s:s + nb, os_:])
+                tri = jnp.logical_or(lane >= (s + sub)[:, None],
+                                     lane >= n_pad)
+                pan = jnp.where(tri[None], pan, 0.0)
+                m_ref[:, s:s + nb, os_:] = pan
+                if os_ > 0:
+                    m_ref[:, s:s + nb, :os_] = jnp.zeros(
+                        (b_tile, nb, os_), jnp.float32)
+
+                re = os_ + ob
+                if s + nb < re:
+                    pan_t = jnp.swapaxes(pan, 1, 2)          # (b, w, nb)
+                    coef_t = pan_t[:, s + nb - os_:re - os_, :]
+                    upd = bdot(coef_t, pan)
+                    blk = m_ref[:, s + nb:re, os_:]
+                    m_ref[:, s + nb:re, os_:] = blk - upd
+
+            if os_ + ob < n_pad:
+                rblk = m_ref[:, os_:os_ + ob, os_ + ob:]
+                for rs in range(os_ + ob, n_pad, 128):
+                    coef_t = jnp.swapaxes(
+                        m_ref[:, os_:os_ + ob, rs:rs + 128], 1, 2)
+                    upd = bdot(coef_t, rblk)
+                    blk = m_ref[:, rs:rs + 128, os_ + ob:]
+                    m_ref[:, rs:rs + 128, os_ + ob:] = blk - upd
+
+        # ---- phase 2: back-substitution R x = y on the AUG column only ----
+        # The R entries are never modified (a pivot row only touches lanes
+        # >= its own index, which later pivots never read as coefficients),
+        # so only the (b, nb, 128) aug panels are updated per step — per-
+        # step VPU work is tiny and the cross-panel/block updates are MXU
+        # dots of R blocks against solved x panels.
+        lane_nb = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
+        for o in range(n_outer - 1, -1, -1):         # static, bottom-up
+            os_ = o * ob
+            for ip in range(ob // nb - 1, -1, -1):   # static, bottom-up
+                s = os_ + ip * nb
+                # R's nb x nb diagonal block, sublane-indexed via the
+                # aligned-lane-block transpose trick
+                blk_t = jnp.swapaxes(m_ref[:, s:s + nb, os_:os_ + ob],
+                                     1, 2)           # (b, ob, nb)
+                dblk = jnp.swapaxes(blk_t[:, s - os_:s - os_ + nb, :],
+                                    1, 2)            # (b, nb, nb) rows x cols
+
+                def step_bs(jj, pan_aug):
+                    # pan_aug: (b_tile, nb, 128) aug entries of panel rows
+                    # (all intermediates stay rank >= 2: Mosaic's layout
+                    # inference aborts on rank-1 reshapes)
+                    j = nb - 1 - jj
+                    onehot = (sub == j).astype(jnp.float32)
+                    lmask = (lane_nb == j).astype(jnp.float32)
+                    augj = jnp.sum(pan_aug * onehot[None, :, None], axis=1)
+                    colj = jnp.sum(dblk * lmask, axis=2)      # (b, nb)
+                    diag = jnp.sum(colj * onehot[None, :], axis=1,
+                                   keepdims=True)             # (b, 1)
+                    xj = augj / diag                 # (b, 128)
+                    c = (jnp.where(sub[None, :] < j, colj, 0.0)
+                         + onehot[None, :] * (diag - 1.0))
+                    return pan_aug - c[:, :, None] * xj[:, None, :]
+                pan_aug = jax.lax.fori_loop(0, nb, step_bs,
+                                            m_ref[:, s:s + nb, n_pad:])
+                m_ref[:, s:s + nb, n_pad:] = pan_aug
+
+                if s > os_:
+                    # aug of rows above the panel inside this outer block:
+                    # coefficients R[r, s:s+nb] via the transpose trick
+                    ab_t = jnp.swapaxes(m_ref[:, os_:s, os_:os_ + ob],
+                                        1, 2)        # (b, ob, rows)
+                    coef = jnp.swapaxes(
+                        ab_t[:, s - os_:s - os_ + nb, :], 1, 2)
+                    upd = bdot(coef, pan_aug)        # (b, rows, 128)
+                    m_ref[:, os_:s, n_pad:] = \
+                        m_ref[:, os_:s, n_pad:] - upd
+
+            if os_ > 0:
+                # aug of all rows above this outer block (aligned slices)
+                xblk = m_ref[:, os_:os_ + ob, n_pad:]         # (b, ob, 128)
+                for rs in range(0, os_, 128):
+                    coef = m_ref[:, rs:rs + 128, os_:os_ + ob]
+                    upd = bdot(coef, xblk)
+                    m_ref[:, rs:rs + 128, n_pad:] = \
+                        m_ref[:, rs:rs + 128, n_pad:] - upd
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "ob", "b_tile", "interpret"))
+def chol_solve(a: jnp.ndarray, v: jnp.ndarray, nb: int = 8, ob: int = 128,
+               b_tile: int = 8, interpret: bool = False) -> jnp.ndarray:
+    # b_tile=16 exceeds v5e VMEM (141M > 128M: 31.5M aliased block x
+    # pipeline double-buffering + trailing-update temporaries)
+    """Fused batched SPD solve x = a^{-1} v on TPU (see _make_solve_kernel).
+
+    a: (B, N, N) SPD; v: (B, N).  Equivalent to Cholesky + two triangular
+    substitutions in f32 (same op sequence, so same rounding class)."""
+    b, n, n2 = a.shape
+    assert n == n2 and v.shape == (b, n) and ob % nb == 0
+    n_pad = _round_up(n, max(ob, 128))
+    b_pad = _round_up(b, b_tile)
+    if n_pad != n:
+        a = jnp.pad(a, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+        pad_diag = (jnp.arange(n_pad) >= n).astype(a.dtype)
+        a = a + jnp.diag(pad_diag)[None]
+        v = jnp.pad(v, ((0, 0), (0, n_pad - n)))
+    # augmented lane block: v in lane 0, zeros elsewhere
+    aug = jnp.pad(v[:, :, None], ((0, 0), (0, 0), (0, 127)))
+    m = jnp.concatenate([a, aug], axis=2)
+    if b_pad != b:
+        eye = jnp.broadcast_to(
+            jnp.pad(jnp.eye(n_pad, dtype=a.dtype), ((0, 0), (0, 128))),
+            (b_pad - b, n_pad, n_pad + 128))
+        m = jnp.concatenate([m, eye], axis=0)
+
+    kernel = _make_solve_kernel(b_tile, n_pad, nb, ob)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, n_pad + 128),
+                                       jnp.float32),
+        grid=(b_pad // b_tile,),
+        in_specs=[pl.BlockSpec((b_tile, n_pad, n_pad + 128),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((b_tile, n_pad, n_pad + 128),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(m)
+    return out[:b, :n, n_pad]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nb", "ob", "b_tile", "interpret"))
 def cholesky_rt(a: jnp.ndarray, nb: int = 8, ob: int = 128,

@@ -121,3 +121,28 @@ def test_spd_solve_pallas_path(rng, monkeypatch):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gr_got), np.asarray(gr_want),
                                rtol=1e-3, atol=1e-4)
+
+    # opt-in fused [A|v] kernel path (SG_CHOL_PALLAS=fused)
+    monkeypatch.setenv("SG_CHOL_PALLAS", "fused")
+    got_f = np.asarray(spd_solve(l_mat, rhs))
+    gl_f, gr_f = jax.grad(loss, argnums=(0, 1))(l_mat, rhs)
+    np.testing.assert_allclose(got_f, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gl_f), np.asarray(gl_want),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_want),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("b,n,bt", [(3, 40, 2), (5, 200, 4)])
+def test_chol_solve_matches_scipy(rng, b, n, bt):
+    """Fused [A|v] -> x kernel vs float64 reference solve."""
+    from speakerguard_tpu.ops.pallas_chol import chol_solve
+    a = rng.standard_normal((b, n, n)).astype(np.float32) * 0.1
+    spd = np.einsum("bij,bkj->bik", a, a) \
+        + (n / 10.0) * np.eye(n, dtype=np.float32)
+    v = rng.standard_normal((b, n)).astype(np.float32)
+    got = np.asarray(chol_solve(jnp.asarray(spd), jnp.asarray(v),
+                                b_tile=bt, interpret=True))
+    want = np.linalg.solve(spd.astype(np.float64),
+                           v.astype(np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
