@@ -220,7 +220,7 @@ class AudioNet(SRSModel):
             return
         self.net_params, self.state = value
 
-    def _raw(self, wav, rng=None, p=None):
+    def _raw(self, wav, rng=None, p=None, fast=False):
         return audionet_logmel(wav, self.logmel_config)
 
     def _feat_step(self, feats, ori_flag, p=None):

@@ -97,7 +97,7 @@ class SRSModel:
         return self.params
 
     # ---- ladder pieces (override; `p` is the resolved params pytree) ----
-    def _raw(self, wav, rng=None, p=None):
+    def _raw(self, wav, rng=None, p=None, fast=False):
         raise NotImplementedError
 
     def _feat_step(self, feats, ori_flag, p=None):
@@ -110,11 +110,11 @@ class SRSModel:
         raise NotImplementedError
 
     # ---- uniform API ----
-    def compute_feat(self, x, flag=1, rng=None, params=None):
+    def compute_feat(self, x, flag=1, rng=None, params=None, fast=False):
         assert flag in self.allowed_flags and flag != 0
         p = self.resolve_params(params)
         wav = check_input_range(as_batch_wav(x), range_type=self.range_type)
-        feats = self._raw(wav, rng=rng, p=p)
+        feats = self._raw(wav, rng=rng, p=p, fast=fast)
         for f in range(1, flag):
             feats = self._feat_step(feats, f, p=p)
         return feats
@@ -136,7 +136,8 @@ class SRSModel:
         p = self.resolve_params(params)
         top = self.allowed_flags[-1]
         if flag == 0:
-            feats = self.compute_feat(x, flag=top, rng=rng, params=p)
+            feats = self.compute_feat(x, flag=top, rng=rng, params=p,
+                                      fast=fast)
         elif flag < top:
             feats = self.comput_feat_from_feat(x, ori_flag=flag,
                                                des_flag=top, params=p)

@@ -133,8 +133,12 @@ class IvPlda(SRSModel):
         self.z_norm_means = z_norm_means
         self.z_norm_stds = z_norm_stds
 
-    def _raw(self, wav, rng=None, p=None):
-        return kaldi_mfcc(wav, self.mfcc_config, rng=rng)
+    def _raw(self, wav, rng=None, p=None, fast=False):
+        # attack-gradient graphs run the DFT matmuls at HIGH (3-pass)
+        # instead of HIGHEST (6-pass); the exact final eval keeps parity
+        prec = (jax.lax.Precision.HIGH
+                if fast and fast_active() else None)
+        return kaldi_mfcc(wav, self.mfcc_config, rng=rng, precision=prec)
 
     def _feat_step(self, feats, ori_flag, p=None):
         if ori_flag == 1:

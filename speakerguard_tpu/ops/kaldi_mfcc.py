@@ -330,12 +330,16 @@ def _rfft_power(win: int, n_fft: int, preemph: float = 0.0,
 # main entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
 def kaldi_mfcc(wav: jnp.ndarray, cfg: MfccConfig = IV_PLDA_MFCC,
-               rng: jax.Array | None = None) -> jnp.ndarray:
+               rng: jax.Array | None = None,
+               precision=None) -> jnp.ndarray:
     """Batched Kaldi MFCC.  wav: (B, L) float32 in the *origin* (int16) domain.
 
-    Returns (B, T, num_ceps).
+    Returns (B, T, num_ceps).  `precision` overrides the DFT matmul
+    precision (default HIGHEST for Kaldi parity; attack-gradient graphs
+    pass HIGH — the frontend feeds sign() steps there, and the exact final
+    evaluation re-runs at HIGHEST).
     """
     assert wav.ndim == 2, "expect (B, L)"
     frames = frame_signal(wav.astype(jnp.float32), cfg)  # (B, T, W)
@@ -358,7 +362,7 @@ def kaldi_mfcc(wav: jnp.ndarray, cfg: MfccConfig = IV_PLDA_MFCC,
         _WINDOWS.setdefault(key, functools.partial(feature_window, cfg))
         power = _rfft_power(cfg.window_size, cfg.padded_window_size,
                             preemph=cfg.preemphasis_coefficient,
-                            window_key=key)(frames)
+                            window_key=key, precision=precision)(frames)
     else:
         # non-raw energy needs the windowed frames themselves
         if cfg.preemphasis_coefficient != 0.0:
@@ -368,7 +372,8 @@ def kaldi_mfcc(wav: jnp.ndarray, cfg: MfccConfig = IV_PLDA_MFCC,
         frames = frames * jnp.asarray(feature_window(cfg))
         log_energy = jnp.log(
             jnp.maximum(jnp.sum(frames * frames, axis=-1), EPSILON))
-        power = _rfft_power(cfg.window_size, cfg.padded_window_size)(frames)
+        power = _rfft_power(cfg.window_size, cfg.padded_window_size,
+                            precision=precision)(frames)
 
     # tiny matmuls; full f32 precision is required for Kaldi parity and free
     mel = jnp.matmul(power, jnp.asarray(mel_banks(cfg)).T,

@@ -40,7 +40,7 @@ class ToyModel(SRSModel):
             emb = jnp.tile(emb, (1, reps))[:, :t]
         return emb @ self.w
 
-    def _raw(self, wav, rng=None, p=None):
+    def _raw(self, wav, rng=None, p=None, fast=False):
         b, length = wav.shape
         # (B, T, F) like real acoustic features (FeCo etc. need 3-D)
         return wav.reshape(b, length // self.frame, self.frame)
