@@ -127,50 +127,82 @@ def _chol_apply(factor, lower: bool, v):
     return x[..., 0]
 
 
-def _spd_solve_impl(l_mat, rhs):
-    """Default: Cholesky factor (Pallas kernel on TPU) + two XLA
-    triangular solves.  SG_CHOL_PALLAS=fused switches to the fused
-    [A|v] -> x Pallas kernel (ops/pallas_chol.chol_solve): measured
-    SLOWER on v5e at (128, 600, 600) — ~33 ms net vs ~22 net for the
-    factor+triangular path, because its VMEM-capped batch tile doubles
-    the number of sequential sweep repetitions — so it stays opt-in
-    (exact to 8e-7 rel; see ARCHITECTURE perf notes)."""
+def _solve_kind() -> str:
+    """Which solve strategy the current process state selects: 'upper'
+    (Pallas R^T R factor), 'lower' (XLA cholesky), or 'fused' (the opt-in
+    [A|v] -> x Pallas kernel — measured SLOWER on v5e at (128, 600, 600),
+    ~33 ms net vs ~22 for factor+triangular, because its VMEM-capped
+    batch tile doubles the sequential sweep repetitions; exact to 8e-7
+    rel, see ARCHITECTURE perf notes)."""
     import os
     if os.environ.get("SG_CHOL_PALLAS") == "fused":
-        from speakerguard_tpu.ops.pallas_chol import chol_solve
-        interpret = jax.default_backend() != "tpu"
-        return chol_solve(l_mat, rhs, interpret=interpret)
-    factor, lower = _chol_factor(l_mat)
-    return _chol_apply(factor, lower, rhs)
+        return "fused"
+    return "upper" if _use_pallas_chol() else "lower"
 
 
-@jax.custom_vjp
+def _make_spd_solve(kind: str):
+    """Build the custom-VJP SPD solve for one factorization strategy.
+
+    The IFT backward (grad_rhs = A^-1 g; grad_A = -outer(grad_rhs, x))
+    needs a second solve against the SAME matrix — so for the factored
+    kinds the residual carries the triangular FACTOR and the backward is
+    just two extra triangular solves, skipping a second factorization
+    (the factorization is ~half the solve stage cost on chip).  The
+    factor's orientation is baked into WHICH traced function this is
+    (kind is captured statically), so a SG_CHOL_PALLAS flip between the
+    forward and backward trace can't mis-orient the triangular solves."""
+    lower = kind == "lower"
+
+    def impl(l_mat, rhs):
+        if kind == "fused":
+            from speakerguard_tpu.ops.pallas_chol import chol_solve
+            interpret = jax.default_backend() != "tpu"
+            return chol_solve(l_mat, rhs, interpret=interpret)
+        factor, _ = _chol_factor(l_mat)
+        return _chol_apply(factor, lower, rhs)
+
+    @jax.custom_vjp
+    def solve(l_mat, rhs):
+        return impl(l_mat, rhs)
+
+    if kind == "fused":
+        # no factor to reuse: re-solve against the saved matrix
+        # (refactorization IS ~free inside the fused kernel's sweep)
+        def fwd(l_mat, rhs):
+            x = impl(l_mat, rhs)
+            return x, (l_mat, x)
+
+        def bwd(res, g):
+            l_mat, x = res
+            u = impl(l_mat, g)
+            return -jnp.einsum("bi,bj->bij", u, x), u
+    else:
+        def fwd(l_mat, rhs):
+            factor, _ = _chol_factor(l_mat)
+            x = _chol_apply(factor, lower, rhs)
+            return x, (factor, x)
+
+        def bwd(res, g):
+            factor, x = res
+            u = _chol_apply(factor, lower, g)
+            return -jnp.einsum("bi,bj->bij", u, x), u
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+_SPD_SOLVES = {k: _make_spd_solve(k) for k in ("lower", "upper", "fused")}
+
+
 def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Batched SPD solve x = L^-1 rhs via Cholesky.  l_mat: (B, N, N)
+    """Batched SPD solve x = A^-1 rhs via Cholesky.  l_mat: (B, N, N)
     symmetric positive definite; rhs: (B, N).
 
-    Custom VJP uses the implicit function theorem (grad_rhs = L^-1 g;
-    grad_L = -outer(grad_rhs, x)) instead of differentiating through the
-    factorization — much cheaper to compile and run than autodiff of
-    cholesky on TPU.  The backward re-solves against the SAVED MATRIX
-    (refactorization is ~free in the fused kernel, and carrying the matrix
-    instead of the factor keeps the residual orientation-free)."""
-    return _spd_solve_impl(l_mat, rhs)
-
-
-def _spd_solve_fwd(l_mat, rhs):
-    x = _spd_solve_impl(l_mat, rhs)
-    return x, (l_mat, x)
-
-
-def _spd_solve_bwd(res, g):
-    l_mat, x = res
-    u = _spd_solve_impl(l_mat, g)
-    grad_l = -jnp.einsum("bi,bj->bij", u, x)
-    return grad_l, u
-
-
-spd_solve.defvjp(_spd_solve_fwd, _spd_solve_bwd)
+    Custom VJP uses the implicit function theorem instead of
+    differentiating through the factorization — much cheaper to compile
+    and run than autodiff of cholesky on TPU — and the backward reuses
+    the forward's factor (see _make_spd_solve)."""
+    return _SPD_SOLVES[_solve_kind()](l_mat, rhs)
 
 
 import functools
