@@ -118,18 +118,26 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _aug_ops(d: int):
-    """Augmentation aug(x) = [x, packed(x x^T)] with a scatter-free VJP.
+    """Augmentation aug(x) = [x, packed(x x^T)] — gather-free BOTH ways.
 
-    Autodiff of the packed outer product x[rows]*x[cols] backpropagates
-    through two gathers — a scatter-add over the (B, T, P) cotangent on TPU.
-    The chain rule dx_r += dq_p x_c, dx_c += dq_p x_r is instead two tiny
-    (P, D) matmuls (one-hot row/col indicator matrices), which also halves
-    the GMM-loglike backward FLOPs vs the analytic per-frame
+    The packed outer product x[rows]*x[cols] is built by selecting x[rows]
+    and x[cols] with one-hot (D, P) indicator MATMULS instead of gathers:
+    lane-dimension gathers on a (B, T, P) operand measured 8.8 ms/iter at
+    bench shapes on a v5e where the one-hot-matmul construction runs 2.4 ms
+    — at the pure HBM-traffic roofline (in-scan timing; eager probes are
+    dispatch-noise-dominated on this stack).  Selection by one-hot matmul
+    is EXACT at any precision: each output lane accumulates a single
+    x_k * 1.0 term (verified bit-equal to the gather construction in
+    tests/test_backends.py).
+
+    The chain rule dx_r += dq_p x_c, dx_c += dq_p x_r is likewise two
+    (P, D) indicator matmuls on the (dq * x_sel) products, which also
+    halves the GMM-loglike backward FLOPs vs the analytic per-frame
     sum_c gbar_tc InvCov_c x_t form (no (B, T, D, D) materialization).
 
-    Returns (augment, chain) where chain(x, cot) is the VJP body (reused by
-    the fused-kernel backward).  numpy-only constants in this cache (jnp
-    constants materialized under an active trace would leak tracers).
+    Returns (augment, chain) where chain(x, cot) is the VJP body.
+    numpy-only constants in this cache (jnp constants materialized under
+    an active trace would leak tracers).
     """
     rows, cols = _packed_indices(d)
     p = len(rows)
@@ -137,21 +145,31 @@ def _aug_ops(d: int):
     g_rows[np.arange(p), rows] = 1.0
     g_cols = np.zeros((p, d), np.float32)
     g_cols[np.arange(p), cols] = 1.0
+    # (D, P) selectors for the forward; (P, D) transposes for the chain
+    sel_r = g_rows.T.copy()
+    sel_c = g_cols.T.copy()
+
+    def _select(x, sel_np):
+        """x (..., D) -> x[..., idx] (..., P) as a one-hot matmul (exact:
+        one nonzero term per output lane, f32 MXU accumulation)."""
+        sel = jnp.asarray(sel_np, x.dtype)
+        return jnp.matmul(x, sel, precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=x.dtype)
 
     def chain(x, cot, precision=None):
         precision = precision if precision is not None else HOT_PRECISION
         dlin = cot[..., :d]
         dq = cot[..., d:]
         dx = dlin
-        dx = dx + jnp.matmul(dq * x[..., jnp.asarray(cols)],
+        dx = dx + jnp.matmul(dq * _select(x, sel_c),
                              jnp.asarray(g_rows), precision=precision)
-        dx = dx + jnp.matmul(dq * x[..., jnp.asarray(rows)],
+        dx = dx + jnp.matmul(dq * _select(x, sel_r),
                              jnp.asarray(g_cols), precision=precision)
         return dx
 
     @jax.custom_vjp
     def augment(x):
-        outer = x[..., jnp.asarray(rows)] * x[..., jnp.asarray(cols)]
+        outer = _select(x, sel_r) * _select(x, sel_c)
         return jnp.concatenate([x, outer], axis=-1)
 
     def fwd(x):
@@ -326,14 +344,37 @@ def posteriors(params: FullGMMParams, feats: jnp.ndarray,
                           axis=-1)
 
 
+def _use_stats_pallas() -> bool:
+    """Fused loglike->softmax->stats Pallas kernel for the FAST path —
+    OPT-IN (SG_GMM_STATS_PALLAS=1; interpret mode off-TPU for tests).
+
+    Measured on a v5e at bench shapes (B=128, T=298): 46.2 ms op-level vs
+    the jnp fast path's 50.4 (eager probes), but consistently ~5 ms/iter
+    SLOWER end-to-end inside the PGD scan (28.2 vs 33.1 utts/s, two
+    sessions) — the backward's full loglike-matmul recompute outweighs the
+    HBM round-trips it saves once XLA fuses the jnp path into the
+    surrounding graph.  Same verdict as the fused loglike kernel
+    (_use_pallas above): the jnp path is the production default."""
+    return _os.environ.get("SG_GMM_STATS_PALLAS", "0") == "1"
+
+
 def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray,
                        fast=False):
     """feats: (B, T, D) -> (zeroth (B, C), first (B, C, D)).
 
     Matches reference gmm.py:166-171 (sum of posteriors / posterior-weighted
     frame sum) without the frame-batching loop.  fast=True runs the bf16
-    single-pass attack-gradient variant (see component_loglike).
+    single-pass attack-gradient variant (see component_loglike);
+    SG_GMM_STATS_PALLAS=1 additionally routes it through the fused Pallas
+    stats kernel (ops/pallas_gmm_stats.py — opt-in, see _use_stats_pallas).
     """
+    if fast and _use_stats_pallas():
+        from speakerguard_tpu.ops.pallas_gmm_stats import fused_stats
+        assert params.quad_proj_bf16 is not None
+        sg = jax.lax.stop_gradient
+        interpret = jax.default_backend() != "tpu"
+        return fused_stats(sg(params.quad_proj_bf16), sg(params.gconsts),
+                           feats, interpret)
     posts = posteriors(params, feats, fast=fast)   # (B, T, C)
     zeroth = jnp.sum(posts, axis=-2)               # (B, C)
     first = jnp.einsum("btc,btd->bcd", posts, feats,

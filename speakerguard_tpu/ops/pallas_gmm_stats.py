@@ -1,0 +1,288 @@
+"""Pallas TPU kernel: fused GMM Baum-Welch statistics (fast attack path).
+
+Computes, WITHOUT materializing any (B, T, C) or (B, T, F_aug) tensor in
+HBM,
+
+    loglike[b,t,c] = gconsts[c] + aug(x_bt) . quad_proj[:, c]
+    posts          = softmax_c(loglike)
+    zeroth[b,c]    = sum_t posts[b,t,c]
+    first[b,c,d]   = sum_t posts[b,t,c] x[b,t,d]
+
+where aug(x) = [x, packed upper-triangular x x^T] (models/gmm.py).  Each
+(t_tile, C) panel stays VMEM-resident: per grid step the kernel builds the
+augmentation in VMEM scratch, runs one MXU matmul against the VMEM-
+resident bf16 projection (7.9 MB), does the softmax on the panel, and
+accumulates zeroth/first into revisited output blocks.
+
+MEASURED OUTCOME (v5e, B=128, T=298, why this is OPT-IN not default):
+op-level the kernel beats the jnp fast path slightly (46.2 vs 50.4 ms
+eager fwd+grad probes), but inside the full PGD iteration scan it is
+consistently ~5 ms/iter SLOWER (28.2 vs 33.1 utts/s end-to-end) — the
+backward's full loglike-matmul recompute costs more than the (B, T, C)
+HBM round-trips it avoids once XLA fuses the jnp softmax/stats into the
+surrounding graph.  Kept as a tested experiment (SG_GMM_STATS_PALLAS=1),
+same status as ops/pallas_gmm.py.
+
+The backward recomputes the panel (cheaper than round-tripping it through
+HBM) and applies the softmax VJP + the scatter-free augmentation chain
+rule in VMEM, emitting only the (B, T, D) feature cotangent.
+
+This is the FAST (attack-gradient) path only: operands are bf16-rounded
+with f32 accumulation, exactly like gmm._loglike_fast — callers gate it
+on the final evaluation re-running the exact jnp path.  Replaces the
+reference's chunked per-frame loop (model/_iv_plda/gmm.py:120-171) at the
+other end of the design space.  Use interpret=True off-TPU for tests.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _build_aug(x, d, f_aug, f_pad, dtype):
+    """x: (t, d_pad) -> augmented (t, f_pad) = [x, packed(x x^T), 0-pad].
+    Static-slice construction, row-major (r, r..d-1) — matches
+    np.triu_indices ordering used by gmm.build_gmm."""
+    xv = x[:, :d].astype(dtype)
+    pieces = [xv]
+    for r in range(d):
+        pieces.append(xv[:, r:r + 1] * xv[:, r:])
+    aug = jnp.concatenate(pieces, axis=-1)
+    if f_pad > f_aug:
+        aug = jnp.pad(aug, ((0, 0), (0, f_pad - f_aug)))
+    return aug
+
+
+def _chain_dx(dq, x, d):
+    """VJP of the packed outer product: dq (t, P) cotangent -> dx (t, d).
+
+    For packed index p=(r, c), q_p = x_r x_c, so dx_r += dq_p x_c and
+    dx_c += dq_p x_r.  Evaluated with the same static-slice structure as
+    the forward build (no gathers/scatters): per row-block r the segment
+    dq[:, off_r : off_r + d - r] pairs with x[:, r:]."""
+    t = dq.shape[0]
+    xv = x[:, :d]
+    col_parts = []
+    acc = jnp.zeros((t, d), jnp.float32)
+    off = 0
+    for r in range(d):
+        seg = dq[:, off:off + (d - r)].astype(jnp.float32)
+        xr = xv[:, r:].astype(jnp.float32)
+        # dx_r += sum_c dq_(r,c) x_c   (one column)
+        col_parts.append(jnp.sum(seg * xr, axis=1, keepdims=True))
+        # dx_{c>=r} += dq_(r,c) x_r    (suffix row)
+        acc = acc + jnp.pad(seg * xv[:, r:r + 1].astype(jnp.float32),
+                            ((0, 0), (r, 0)))
+        off += d - r
+    return acc + jnp.concatenate(col_parts, axis=1)
+
+
+def _fwd_kernel(t_tile, c, d, f_aug, f_pad, t_total, dtype):
+
+    def kernel(x_ref, proj_ref, gconsts_ref, zeroth_ref, first_ref,
+               aug_scratch):
+        # x_ref:      (1, t_tile, d_pad)   feats tile
+        # proj_ref:   (f_pad, c)           bf16 projection (VMEM-resident)
+        # gconsts_ref:(1, c)
+        # zeroth_ref: (1, 1, c)            accumulated over the jt grid dim
+        #             (3-D with a unit middle dim: Mosaic requires output
+        #             block trailing dims be (8,128)-divisible or equal to
+        #             the array dims — a (1, c) block over (B, c) is neither)
+        # first_ref:  (1, c, d_pad)
+        jt = pl.program_id(1)
+        x = x_ref[0]
+        aug_scratch[:, :] = _build_aug(x, d, f_aug, f_pad, dtype)
+        loglike = jnp.dot(aug_scratch[:, :], proj_ref[:, :],
+                          preferred_element_type=jnp.float32)
+        loglike = loglike + gconsts_ref[0, :]
+        m = jnp.max(loglike, axis=1, keepdims=True)
+        e = jnp.exp(loglike - m)
+        posts = e / jnp.sum(e, axis=1, keepdims=True)
+        # zero out rows past the true T (feats are zero-padded, but
+        # softmax of gconsts alone is NOT zero)
+        row = jax.lax.broadcasted_iota(jnp.int32, (t_tile, 1), 0)
+        posts = jnp.where(row + jt * t_tile < t_total, posts, 0.0)
+        z = jnp.sum(posts, axis=0, keepdims=True)                 # (1, c)
+        f = jax.lax.dot_general(                                  # (c, d_pad)
+            posts.astype(dtype), x.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(jt == 0)
+        def _init():
+            zeroth_ref[0] = z
+            first_ref[0] = f
+
+        @pl.when(jt != 0)
+        def _acc():
+            zeroth_ref[0] = zeroth_ref[0] + z
+            first_ref[0] = first_ref[0] + f
+
+    return kernel
+
+
+def _bwd_kernel(t_tile, c, d, f_aug, f_pad, t_total, dtype):
+
+    def kernel(x_ref, proj_ref, gconsts_ref, dz_ref, df_ref, dx_ref,
+               aug_scratch):
+        # dz_ref: (1, 1, c) f32; df_ref: (1, c, d_pad) f32
+        # dx_ref: (1, t_tile, d_pad) f32
+        jt = pl.program_id(1)
+        x = x_ref[0]
+        aug_scratch[:, :] = _build_aug(x, d, f_aug, f_pad, dtype)
+        loglike = jnp.dot(aug_scratch[:, :], proj_ref[:, :],
+                          preferred_element_type=jnp.float32)
+        loglike = loglike + gconsts_ref[0, :]
+        m = jnp.max(loglike, axis=1, keepdims=True)
+        e = jnp.exp(loglike - m)
+        posts = e / jnp.sum(e, axis=1, keepdims=True)             # (t, c)
+
+        df = df_ref[0]                                            # (c, d_pad)
+        # dposts[t,c] = dz[c] + sum_d df[c,d] x[t,d]
+        dp = dz_ref[0, 0, :] + jax.lax.dot_general(
+            x.astype(dtype), df.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # softmax VJP: dl = posts * (dp - sum_c posts*dp)
+        s = jnp.sum(posts * dp, axis=1, keepdims=True)
+        dl = posts * (dp - s)
+        row = jax.lax.broadcasted_iota(jnp.int32, (t_tile, 1), 0)
+        valid = row + jt * t_tile < t_total
+        dl = jnp.where(valid, dl, 0.0)
+        posts_m = jnp.where(valid, posts, 0.0)
+
+        # daug[t,f] = sum_c dl[t,c] proj[f,c]
+        daug = jax.lax.dot_general(
+            dl.astype(dtype), proj_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # (t, f_pad)
+        dx = _chain_dx(daug[:, d:d + (f_aug - d)], x, d)
+        dx = dx + daug[:, :d]
+        # direct first-stats term: dx[t,d] += sum_c posts[t,c] df[c,d]
+        direct = jnp.dot(posts_m.astype(dtype), df.astype(dtype),
+                         preferred_element_type=jnp.float32)      # (t, d_pad)
+        dx = dx + direct[:, :d]
+        dx_ref[0] = jnp.pad(dx, ((0, 0), (0, dx_ref.shape[2] - d)))
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_tile", "interpret"))
+def _stats_fwd(feats, quad_proj_bf16, gconsts, t_tile=128, interpret=False):
+    b, t, d = feats.shape
+    f_aug, c = quad_proj_bf16.shape
+    assert f_aug == d + d * (d + 1) // 2
+    dtype = quad_proj_bf16.dtype
+
+    t_pad = _round_up(t, t_tile)
+    d_pad = _round_up(d, 128)
+    f_pad = _round_up(f_aug, 128)
+    feats_p = jnp.pad(feats, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
+    proj_p = jnp.pad(quad_proj_bf16, ((0, f_pad - f_aug), (0, 0)))
+    gconsts_p = gconsts[None, :].astype(jnp.float32)
+
+    n_t = t_pad // t_tile
+    kernel = _fwd_kernel(t_tile, c, d, f_aug, f_pad, t, dtype)
+    zeroth, first = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((b, c, d_pad), jnp.float32)),
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec((1, t_tile, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((t_tile, f_pad), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(feats_p, proj_p, gconsts_p)
+    return zeroth[:, 0, :], first[:, :, :d]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_tile", "interpret"))
+def _stats_bwd(feats, quad_proj_bf16, gconsts, dzeroth, dfirst,
+               t_tile=128, interpret=False):
+    b, t, d = feats.shape
+    f_aug, c = quad_proj_bf16.shape
+    dtype = quad_proj_bf16.dtype
+
+    t_pad = _round_up(t, t_tile)
+    d_pad = _round_up(d, 128)
+    f_pad = _round_up(f_aug, 128)
+    feats_p = jnp.pad(feats, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
+    proj_p = jnp.pad(quad_proj_bf16, ((0, f_pad - f_aug), (0, 0)))
+    gconsts_p = gconsts[None, :].astype(jnp.float32)
+    dfirst_p = jnp.pad(dfirst, ((0, 0), (0, 0), (0, d_pad - d)))
+
+    n_t = t_pad // t_tile
+    kernel = _bwd_kernel(t_tile, c, d, f_aug, f_pad, t, dtype)
+    dx = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d_pad), jnp.float32),
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec((1, t_tile, d_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, d_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t_tile, f_pad), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(feats_p, proj_p, gconsts_p, dzeroth[:, None, :], dfirst_p)
+    return dx[:, :t, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_stats(quad_proj_bf16, gconsts, feats, interpret=False):
+    """feats (B, T, D) -> (zeroth (B, C), first (B, C, D)), fused.
+
+    Differentiable wrt feats only (GMM parameters are never attack
+    variables; pass them through stop_gradient at the call site)."""
+    return _stats_fwd(feats, quad_proj_bf16, gconsts, interpret=interpret)
+
+
+def _fused_stats_fwd(quad_proj_bf16, gconsts, feats, interpret):
+    out = _stats_fwd(feats, quad_proj_bf16, gconsts, interpret=interpret)
+    return out, (quad_proj_bf16, gconsts, feats)
+
+
+def _fused_stats_bwd(interpret, res, cots):
+    quad_proj_bf16, gconsts, feats = res
+    dzeroth, dfirst = cots
+    dx = _stats_bwd(feats, quad_proj_bf16, gconsts, dzeroth, dfirst,
+                    interpret=interpret)
+    return (jnp.zeros_like(quad_proj_bf16), jnp.zeros_like(gconsts), dx)
+
+
+fused_stats.defvjp(_fused_stats_fwd, _fused_stats_bwd)

@@ -109,3 +109,19 @@ def test_length_normalize():
     v = jnp.asarray(np.array([[3.0, 4.0]], np.float32))
     out = np.asarray(iv_mod.length_normalize(v, jnp.asarray(10.0)))
     np.testing.assert_allclose(np.linalg.norm(out), 10.0, rtol=1e-6)
+
+
+def test_augment_onehot_selection_bit_exact(rng):
+    """aug(x) = [x, packed(x x^T)] built via one-hot selector MATMULS must
+    be bit-equal to the gather construction (gmm._aug_ops replaced lane
+    gathers — 8.8 ms/iter at bench shapes on TPU — with exact one-hot
+    matmuls; selection by a single x_k * 1.0 term is exact at HIGHEST
+    precision, verified on-chip and here on CPU)."""
+    for d in (4, 10, 72):
+        x = jnp.asarray(rng.standard_normal((3, 7, d)).astype(np.float32))
+        rows, cols = gmm_mod._packed_indices(d)
+        want = jnp.concatenate(
+            [x, x[..., jnp.asarray(rows)] * x[..., jnp.asarray(cols)]],
+            axis=-1)
+        got = gmm_mod._augment(x, d)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -77,6 +77,71 @@ def test_iv_plda_forward_parity_under_pallas(rng, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# fused Baum-Welch stats kernel (ops/pallas_gmm_stats.py) — fast path only
+# ---------------------------------------------------------------------------
+
+def test_fused_stats_matches_exact(rng):
+    """Forward: the fused loglike->softmax->stats kernel tracks the exact
+    f32 stats within bf16 drift, at least as closely as the jnp fast path
+    it replaces (the kernel is bf16-operand/f32-accum by design)."""
+    from speakerguard_tpu.ops.pallas_gmm_stats import fused_stats
+    params = G.random_gmm(rng, 128, 10)
+    feats = jnp.asarray(rng.standard_normal((2, 37, 10)).astype(np.float32))
+
+    z_ex, f_ex = G.zeroth_first_stats(params, feats, fast=False)
+    z_got, f_got = fused_stats(params.quad_proj_bf16, params.gconsts,
+                               feats, True)
+    # T=37 with t_tile=128 exercises the padded-row masking
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ex),
+                               rtol=0.05, atol=0.03)
+    np.testing.assert_allclose(np.asarray(f_got), np.asarray(f_ex),
+                               rtol=0.05, atol=0.06)
+
+
+def test_fused_stats_grad_tracks_exact(rng):
+    """Backward: feature cotangent from the in-kernel recompute+VJP agrees
+    with the exact-path autodiff gradient (sign agreement is what the
+    PGD-family sign() steps consume)."""
+    import jax
+    from speakerguard_tpu.ops.pallas_gmm_stats import fused_stats
+    params = G.random_gmm(rng, 128, 10)
+    feats = jnp.asarray(rng.standard_normal((2, 37, 10)).astype(np.float32))
+
+    def mk_loss(fn):
+        def loss(f):
+            z, fi = fn(f)
+            return jnp.sum(z[:, :5]) + jnp.sum(fi[:, :3, :] ** 2)
+        return loss
+
+    g_ex = np.asarray(jax.grad(mk_loss(
+        lambda f: G.zeroth_first_stats(params, f, fast=False)))(feats))
+    g_pal = np.asarray(jax.grad(mk_loss(
+        lambda f: fused_stats(params.quad_proj_bf16, params.gconsts,
+                              f, True)))(feats))
+    cos = (g_ex * g_pal).sum() / (np.linalg.norm(g_ex)
+                                  * np.linalg.norm(g_pal))
+    assert cos > 0.999
+    nz = np.abs(g_ex) > np.abs(g_ex).max() * 1e-3
+    assert np.mean(np.sign(g_ex[nz]) == np.sign(g_pal[nz])) > 0.99
+
+
+def test_fused_stats_dispatch(rng, monkeypatch):
+    """SG_GMM_STATS_PALLAS=1 routes zeroth_first_stats(fast=True) through
+    the kernel (interpret off-TPU); =0 keeps the jnp fast path.  Values
+    agree within bf16 drift."""
+    params = G.random_gmm(rng, 128, 10)
+    feats = jnp.asarray(rng.standard_normal((2, 37, 10)).astype(np.float32))
+    monkeypatch.setenv("SG_GMM_STATS_PALLAS", "0")
+    z_jnp, f_jnp = G.zeroth_first_stats(params, feats, fast=True)
+    monkeypatch.setenv("SG_GMM_STATS_PALLAS", "1")
+    z_pal, f_pal = G.zeroth_first_stats(params, feats, fast=True)
+    np.testing.assert_allclose(np.asarray(z_pal), np.asarray(z_jnp),
+                               rtol=0.05, atol=0.03)
+    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_jnp),
+                               rtol=0.05, atol=0.06)
+
+
+# ---------------------------------------------------------------------------
 # batched Cholesky kernel (ops/pallas_chol.py)
 # ---------------------------------------------------------------------------
 
