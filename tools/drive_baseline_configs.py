@@ -134,16 +134,19 @@ def main():
                                  "secs": round(dt, 1)}
     print("RESULT 3b CWinf/iv SV:", results["3b_cwinf_iv_sv"])
 
-    # 4. FAKEBOB on OSI with on-device threshold estimation
-    imp_wav = None
+    # 4. FAKEBOB on OSI with on-device threshold estimation.  Pass ALL
+    # imposter wavs: estimation skips any the model already accepts
+    # (reference FAKEBOB.py:280-295 semantics) — in the tiny synthetic
+    # world an imposter can score above the EER threshold by chance, and
+    # a single-wav list would then leave nothing usable.
+    imp_wavs = []
     for spk in sorted(os.listdir(os.path.join(data, "Spk10_imposter"))):
         d = os.path.join(data, "Spk10_imposter", spk)
         if os.path.isdir(d):
-            imp_wav = os.path.join(d, sorted(os.listdir(d))[0])
-            break
+            imp_wavs += [os.path.join(d, f) for f in sorted(os.listdir(d))]
     rc, out, dt = run(
         ["speakerguard_tpu.cli.attack_main", "-task", "OSI", "-threshold",
-         str(thr), "-thresh_est_wav_path", imp_wav] + common
+         str(thr), "-thresh_est_wav_path"] + imp_wavs + common
         + ["-des", f"{base}/adv_fakebob"] + iv
         + ["-model_file", model_file, "FAKEBOB", "-max_iter", "60",
            "-epsilon", "0.01", "-samples", "10", "-samples_batch", "10",

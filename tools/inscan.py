@@ -1,0 +1,61 @@
+"""In-scan timing harness for hot-path microbenches on the tunneled chip.
+
+Eager per-dispatch probes on this stack are unreliable: r3 measured the
+GMM augmentation at ~35 ms/iter for BOTH the gather and one-hot-matmul
+constructions eagerly, while in-scan timing showed 8.8 vs 2.4 ms — the
+3.7x production win was invisible to the eager probe (dispatch artifacts
+dominate, and identical-executable repeats can be served from a cache).
+
+The honest probe: lax.scan of N reps inside ONE jitted dispatch, each rep
+regenerating its inputs from a folded PRNG key (so no rep can be cached or
+DCE'd), accumulating a scalar that depends on every output.  Per-rep time
+= (total - 0)/N; the single dispatch overhead amortizes to ~0.
+
+Usage:
+    from tools.inscan import time_grad_body
+    ms = time_grad_body(lambda x: loss(x), gen=lambda k: make_input(k))
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def time_scan(step, n_reps=10, n_meas=3, key=None):
+    """step(key) -> scalar; returns median ms/rep over n_meas runs of an
+    n_reps-long in-jit scan (first run compiles and is discarded)."""
+    key = jax.random.PRNGKey(1234) if key is None else key
+
+    def body(acc, k):
+        return acc + step(k), None
+
+    @jax.jit
+    def run(k):
+        acc, _ = jax.lax.scan(body, 0.0, jax.random.split(k, n_reps))
+        return acc
+
+    out = run(jax.random.fold_in(key, 999))
+    jax.block_until_ready(out)
+    times = []
+    for i in range(n_meas):
+        t0 = time.perf_counter()
+        out = run(jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / n_reps)
+    return float(np.median(times)) * 1e3
+
+
+def time_grad_body(loss, gen, n_reps=10, n_meas=3):
+    """loss(x) -> scalar, gen(key) -> x.  Times fwd+grad of loss per rep
+    (the attack-iteration shape: one VJP through the probed stage)."""
+    gfn = jax.grad(loss)
+
+    def step(k):
+        x = gen(k)
+        g = gfn(x)
+        return jax.tree_util.tree_reduce(
+            lambda a, l: a + jnp.sum(l.astype(jnp.float32) ** 2), g, 0.0)
+
+    return time_scan(step, n_reps=n_reps, n_meas=n_meas)
