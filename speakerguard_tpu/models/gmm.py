@@ -156,10 +156,20 @@ def _aug_ops(d: int):
         return jnp.matmul(x, sel, precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=x.dtype)
 
-    def chain(x, cot, precision=None):
+    def chain(x, cot, precision=None, fast=False):
+        """fast=True: the (B, T, P) elementwise products run in bf16 on
+        TPU (the following matmul at BWD_PRECISION=DEFAULT rounds its
+        operands to bf16 anyway, so pre-rounding only moves the rounding
+        one op earlier while HALVING the dominant HBM traffic of the
+        attack-gradient backward — these two products are the largest
+        tensors the chain touches)."""
         precision = precision if precision is not None else HOT_PRECISION
+        dt = fast_dot_dtype() if fast else None
         dlin = cot[..., :d]
         dq = cot[..., d:]
+        if dt is not None:
+            x = x.astype(dt)
+            dq = dq.astype(dt)
         dx = dlin
         dx = dx + jnp.matmul(dq * _select(x, sel_c),
                              jnp.asarray(g_rows), precision=precision)
@@ -292,10 +302,14 @@ def _loglike_fast_bwd(res, gbar):
     quad_proj_bf16, feats = res
     d = feats.shape[-1]
     dt = fast_dot_dtype()
+    # daug is the largest tensor of the backward ((B, T, D + D(D+1)/2));
+    # emitting it in the fast dtype halves its HBM write+read — the chain
+    # consumes it through bf16-rounded ops anyway (sign-step gradients)
     daug = jnp.einsum("btc,fc->btf", gbar.astype(dt),
                       quad_proj_bf16.astype(dt),
-                      preferred_element_type=jnp.float32)
-    grad_x = _aug_ops(d)[1](feats, daug, precision=BWD_PRECISION)
+                      preferred_element_type=dt)
+    grad_x = _aug_ops(d)[1](feats, daug, precision=BWD_PRECISION,
+                            fast=True)
     return (jnp.zeros_like(quad_proj_bf16),
             jnp.zeros(quad_proj_bf16.shape[1], gbar.dtype), grad_x)
 
@@ -344,6 +358,76 @@ def posteriors(params: FullGMMParams, feats: jnp.ndarray,
                           axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Fused fast-path stats block: loglike -> softmax -> (zeroth, first) under
+# ONE custom VJP with bf16 residuals.
+# ---------------------------------------------------------------------------
+# Autodiff of softmax saves the f32 (B, T, C) posteriors as residual and
+# the stats einsums read them again — ~600 MB of f32 HBM round-trips per
+# attack iteration at bench shapes.  This block saves the posteriors
+# bf16 (half the bytes) and hand-writes the softmax VJP so every big
+# operand enters its matmul pre-rounded to the fast dtype (gradients feed
+# sign() steps; the exact path is untouched).
+
+
+@jax.custom_vjp
+def _softmax_stats_fast(quad_proj_bf16, gconsts, feats):
+    d = feats.shape[-1]
+    dt = fast_dot_dtype()
+    aug = _augment(feats.astype(dt), d)
+    ll = jnp.matmul(aug, quad_proj_bf16.astype(dt),
+                    preferred_element_type=jnp.float32) + gconsts
+    posts = jax.nn.softmax(ll, axis=-1)
+    zeroth = jnp.sum(posts, axis=-2)
+    first = jnp.einsum("btc,btd->bcd", posts.astype(dt), feats.astype(dt),
+                       preferred_element_type=jnp.float32)
+    return zeroth, first
+
+
+def _softmax_stats_fast_fwd(quad_proj_bf16, gconsts, feats):
+    d = feats.shape[-1]
+    dt = fast_dot_dtype()
+    aug = _augment(feats.astype(dt), d)
+    ll = jnp.matmul(aug, quad_proj_bf16.astype(dt),
+                    preferred_element_type=jnp.float32) + gconsts
+    posts = jax.nn.softmax(ll, axis=-1)
+    zeroth = jnp.sum(posts, axis=-2)
+    posts16 = posts.astype(dt)
+    first = jnp.einsum("btc,btd->bcd", posts16, feats.astype(dt),
+                       preferred_element_type=jnp.float32)
+    return (zeroth, first), (quad_proj_bf16, feats, posts16)
+
+
+def _softmax_stats_fast_bwd(res, cots):
+    quad_proj_bf16, feats, posts16 = res
+    dzeroth, dfirst = cots
+    d = feats.shape[-1]
+    dt = fast_dot_dtype()
+    feats16 = feats.astype(dt)
+    # dposts[b,t,c] = dzeroth[b,c] + sum_d dfirst[b,c,d] feats[b,t,d]
+    dp = dzeroth[:, None, :] + jnp.einsum(
+        "btd,bcd->btc", feats16, dfirst.astype(dt),
+        preferred_element_type=jnp.float32)
+    # softmax VJP from the bf16-saved posteriors (f32 accumulation)
+    posts = posts16.astype(jnp.float32)
+    s = jnp.sum(posts * dp, axis=-1, keepdims=True)
+    dl = posts * (dp - s)
+    daug = jnp.einsum("btc,fc->btf", dl.astype(dt), quad_proj_bf16,
+                      preferred_element_type=dt)
+    grad_x = _aug_ops(d)[1](feats, daug, precision=BWD_PRECISION,
+                            fast=True)
+    # the feats16 appearance inside `first` also contributes:
+    # dx[b,t,d] += sum_c posts[b,t,c] dfirst[b,c,d]
+    grad_x = grad_x + jnp.einsum("btc,bcd->btd", posts16,
+                                 dfirst.astype(dt),
+                                 preferred_element_type=jnp.float32)
+    return (jnp.zeros_like(quad_proj_bf16),
+            jnp.zeros(quad_proj_bf16.shape[1], jnp.float32), grad_x)
+
+
+_softmax_stats_fast.defvjp(_softmax_stats_fast_fwd, _softmax_stats_fast_bwd)
+
+
 def _use_stats_pallas() -> bool:
     """Fused loglike->softmax->stats Pallas kernel for the FAST path —
     OPT-IN (SG_GMM_STATS_PALLAS=1; interpret mode off-TPU for tests).
@@ -368,16 +452,18 @@ def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray,
     SG_GMM_STATS_PALLAS=1 additionally routes it through the fused Pallas
     stats kernel (ops/pallas_gmm_stats.py — opt-in, see _use_stats_pallas).
     """
-    if fast and _use_stats_pallas():
-        from speakerguard_tpu.ops.pallas_gmm_stats import fused_stats
+    if fast:
         assert params.quad_proj_bf16 is not None
         sg = jax.lax.stop_gradient
-        interpret = jax.default_backend() != "tpu"
-        return fused_stats(sg(params.quad_proj_bf16), sg(params.gconsts),
-                           feats, interpret)
+        if _use_stats_pallas():
+            from speakerguard_tpu.ops.pallas_gmm_stats import fused_stats
+            interpret = jax.default_backend() != "tpu"
+            return fused_stats(sg(params.quad_proj_bf16),
+                               sg(params.gconsts), feats, interpret)
+        return _softmax_stats_fast(sg(params.quad_proj_bf16),
+                                   sg(params.gconsts), feats)
     posts = posteriors(params, feats, fast=fast)   # (B, T, C)
     zeroth = jnp.sum(posts, axis=-2)               # (B, C)
     first = jnp.einsum("btc,btd->bcd", posts, feats,
-                       precision=(jax.lax.Precision.DEFAULT if fast
-                                  else HOT_PRECISION))
+                       precision=HOT_PRECISION)
     return zeroth, first

@@ -23,39 +23,44 @@ import jax
 import jax.numpy as jnp
 
 
-def time_scan(step, n_reps=10, n_meas=3, key=None):
-    """step(key) -> scalar; returns median ms/rep over n_meas runs of an
-    n_reps-long in-jit scan (first run compiles and is discarded)."""
+def time_scan(step, n_reps=10, n_meas=3, key=None, params=()):
+    """step(key, *params) -> scalar; returns median ms/rep over n_meas
+    runs of an n_reps-long in-jit scan (first run compiles, discarded).
+
+    Thread EVERY multi-MB device array through `params` — a closure-
+    captured device array is inlined into the HLO payload on this stack
+    and a GB-scale literal kills the remote compile service (broken
+    pipe); explicit jit args are passed by buffer."""
     key = jax.random.PRNGKey(1234) if key is None else key
 
-    def body(acc, k):
-        return acc + step(k), None
-
     @jax.jit
-    def run(k):
+    def run(k, *ps):
+        def body(acc, kk):
+            return acc + step(kk, *ps), None
         acc, _ = jax.lax.scan(body, 0.0, jax.random.split(k, n_reps))
         return acc
 
-    out = run(jax.random.fold_in(key, 999))
+    out = run(jax.random.fold_in(key, 999), *params)
     jax.block_until_ready(out)
     times = []
     for i in range(n_meas):
         t0 = time.perf_counter()
-        out = run(jax.random.fold_in(key, i))
+        out = run(jax.random.fold_in(key, i), *params)
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / n_reps)
     return float(np.median(times)) * 1e3
 
 
-def time_grad_body(loss, gen, n_reps=10, n_meas=3):
-    """loss(x) -> scalar, gen(key) -> x.  Times fwd+grad of loss per rep
-    (the attack-iteration shape: one VJP through the probed stage)."""
+def time_grad_body(loss, gen, n_reps=10, n_meas=3, params=()):
+    """loss(x, *params) -> scalar, gen(key) -> x.  Times fwd+grad of loss
+    per rep (the attack-iteration shape: one VJP through the probed
+    stage).  Big arrays go in `params` (see time_scan)."""
     gfn = jax.grad(loss)
 
-    def step(k):
+    def step(k, *ps):
         x = gen(k)
-        g = gfn(x)
+        g = gfn(x, *ps)
         return jax.tree_util.tree_reduce(
             lambda a, l: a + jnp.sum(l.astype(jnp.float32) ** 2), g, 0.0)
 
-    return time_scan(step, n_reps=n_reps, n_meas=n_meas)
+    return time_scan(step, n_reps=n_reps, n_meas=n_meas, params=params)

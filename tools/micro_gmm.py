@@ -42,26 +42,26 @@ def main():
     def gen(k):
         return 0.3 * jax.random.normal(k, (b, t, d), jnp.float32)
 
-    def aug_only(f):
+    def aug_only(f, p):
         dt = gmm_mod.fast_dot_dtype() if fast else jnp.float32
         aug = gmm_mod._augment(f.astype(dt), d)
         return jnp.sum(aug.astype(jnp.float32) * w_p) * 1e-6
 
-    def loglike(f):
+    def loglike(f, p):
         return jnp.sum(
-            gmm_mod.component_loglike(params, f, fast=fast) * w_c) * 1e-6
+            gmm_mod.component_loglike(p, f, fast=fast) * w_c) * 1e-6
 
-    def softmax(f):
-        return jnp.sum(gmm_mod.posteriors(params, f, fast=fast) * w_c)
+    def softmax(f, p):
+        return jnp.sum(gmm_mod.posteriors(p, f, fast=fast) * w_c)
 
-    def stats(f):
-        z, fs = gmm_mod.zeroth_first_stats(params, f, fast=fast)
+    def stats(f, p):
+        z, fs = gmm_mod.zeroth_first_stats(p, f, fast=fast)
         return jnp.sum(z * w_z) * 1e-3 + jnp.sum(fs * w_f) * 1e-3
 
     print(f"fast={fast}  (per-rep fwd+grad, in-scan)")
     for name, fn in [("aug-only", aug_only), ("loglike", loglike),
                      ("(+)softmax", softmax), ("(+)stats", stats)]:
-        ms = time_grad_body(fn, gen)
+        ms = time_grad_body(fn, gen, params=(params,))
         print(f"{name:12s} {ms:8.2f} ms/iter", flush=True)
 
 

@@ -8,11 +8,10 @@ on this stack are dispatch-artifact-dominated (see ARCHITECTURE).
 
 Hard-won rules observed here:
   * all multi-MB arrays are generated ON DEVICE (tunnel uploads <1 MB/s);
-  * every big array is threaded as an explicit jit argument — a closure
-    constant is inlined into the HLO payload and a 1.48 GB literal kills
-    the remote compile service (broken pipe).  The inscan harness closes
-    over params refs; device arrays referenced from a jitted fn are
-    passed by buffer, not inlined (only NEW np/jnp literals inline).
+  * every big array is threaded as an explicit jit argument (inscan's
+    `params=`) — a closure-captured device array is INLINED into the HLO
+    payload on this stack and the 738 MB packed quad kills the remote
+    compile service (broken pipe; reconfirmed r3).
 
 Run: python -u tools/micro_ivstage.py
 """
@@ -51,32 +50,28 @@ def main():
         f = 0.3 * jax.random.normal(jax.random.fold_in(k, 1), (b, c, d))
         return z, f
 
-    def contract(z, f):
-        return (jnp.sum(iv_mod._quad_contract_fast(z, qp)) * 1e-6, 0.0)
+    def contract(z, f, qp, pj):
+        return jnp.sum(iv_mod._quad_contract_fast(z, qp)) * 1e-6
 
-    def unpack_p(z, f):
+    def unpack_p(z, f, qp, pj):
         lm = unpack(iv_mod._quad_contract_fast(z, qp)) + jnp.asarray(eye)
-        return (jnp.sum(lm) * 1e-6, 0.0)
+        return jnp.sum(lm) * 1e-6
 
-    def solve_p(z, f):
+    def solve_p(z, f, qp, pj):
         lm = unpack(iv_mod._quad_contract_fast(z, qp)) + jnp.asarray(eye)
         lin = jnp.einsum("cid,bcd->bi", pj, f.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         x = iv_mod.spd_solve(lm, lin)
-        return (jnp.sum(x ** 2) * 1e-3, 0.0)
+        return jnp.sum(x ** 2) * 1e-3
 
     def probe(body):
-        def loss(z, f):
-            a, b2 = body(z, f)
-            return a + b2
+        gfn = jax.grad(body, argnums=(0, 1))
 
-        gfn = jax.grad(loss, argnums=(0, 1))
-
-        def step(k):
+        def step(k, qp_, pj_):
             z, f = gen(k)
-            gz, gf = gfn(z, f)
+            gz, gf = gfn(z, f, qp_, pj_)
             return jnp.sum(gz ** 2) + jnp.sum(gf ** 2)
-        return time_scan(step)
+        return time_scan(step, params=(qp, pj))
 
     for name, body in [("contract", contract), ("(+)unpack", unpack_p),
                        ("(+)solve", solve_p)]:
