@@ -115,16 +115,19 @@ def _chol_factor(l_mat):
 
 
 def _chol_apply(factor, lower: bool, v):
-    """Solve A x = v given A's triangular factor (two triangular solves)."""
-    ts = jax.lax.linalg.triangular_solve
-    v = v[..., None]
+    """Solve A x = v given A's triangular factor (two triangular solves).
+
+    Uses block-substitution solves (ops/trsv.py): XLA's vector-RHS
+    triangular_solve is latency-bound on TPU (the two solves measured
+    7.3 ms at (128, 600, 600) vs 1.3 ms block-structured, rel err ~3e-7)."""
+    from speakerguard_tpu.ops.trsv import triangular_solve_vec as tsv
     if lower:   # A = C C^T
-        y = ts(factor, v, left_side=True, lower=True)
-        x = ts(factor, y, left_side=True, lower=True, transpose_a=True)
+        y = tsv(factor, v, lower=True)
+        x = tsv(factor, y, lower=True, transpose_a=True)
     else:       # A = R^T R
-        y = ts(factor, v, left_side=True, lower=False, transpose_a=True)
-        x = ts(factor, y, left_side=True, lower=False)
-    return x[..., 0]
+        y = tsv(factor, v, lower=False, transpose_a=True)
+        x = tsv(factor, y, lower=False)
+    return x
 
 
 def _solve_kind() -> str:

@@ -41,3 +41,36 @@ def test_spd_solve_vjp_matches_autodiff(rng):
     # cotangent too; compare directly
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_block_trsv_matches_xla_all_orientations(rng):
+    """ops/trsv.py block substitution vs XLA triangular_solve in all four
+    lower/transpose combinations, at N > m (block path, incl. the ragged
+    identity-padded tail) and N <= m (fallback)."""
+    from speakerguard_tpu.ops.trsv import triangular_solve_vec
+    for n, m in [(250, 100), (64, 100)]:
+        a = rng.standard_normal((3, n, n)).astype(np.float32) * 0.1
+        low = np.tril(a) + 2.0 * np.eye(n, dtype=np.float32)
+        v = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+        for lower in (True, False):
+            fac = jnp.asarray(low if lower else low.transpose(0, 2, 1))
+            for ta in (False, True):
+                got = np.asarray(triangular_solve_vec(fac, v, lower=lower,
+                                                      transpose_a=ta, m=m))
+                want = np.asarray(jax.lax.linalg.triangular_solve(
+                    fac, v[..., None], left_side=True, lower=lower,
+                    transpose_a=ta))[..., 0]
+                np.testing.assert_allclose(
+                    got, want, rtol=2e-4, atol=2e-4,
+                    err_msg=f"n={n} lower={lower} transpose={ta}")
+
+
+def test_spd_solve_block_path_large(rng):
+    """spd_solve at N=600-class shapes (block substitution active) vs
+    float64 reference."""
+    l_mat = _spd(rng, 2, 333)
+    rhs = jnp.asarray(rng.standard_normal((2, 333)).astype(np.float32))
+    got = np.asarray(spd_solve(l_mat, rhs))
+    want = np.linalg.solve(np.asarray(l_mat, np.float64),
+                           np.asarray(rhs, np.float64)[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
