@@ -30,8 +30,16 @@ def time_scan(step, n_reps=10, n_meas=3, key=None, params=()):
     Thread EVERY multi-MB device array through `params` — a closure-
     captured device array is inlined into the HLO payload on this stack
     and a GB-scale literal kills the remote compile service (broken
-    pipe); explicit jit args are passed by buffer."""
-    key = jax.random.PRNGKey(1234) if key is None else key
+    pipe); explicit jit args are passed by buffer.
+
+    The base key is salted with time_ns: the tunnel's result cache is
+    PERSISTENT across processes and keyed on (executable, args) — a
+    probe rerun with the same fixed PRNGKeys is served from cache and
+    reads as ~0 ms (observed r3: identical chol probes measured 8.8 ms
+    in the first process and 0.0 ms in the next)."""
+    import time as _time
+    if key is None:
+        key = jax.random.PRNGKey(_time.time_ns() % (2 ** 31))
 
     @jax.jit
     def run(k, *ps):
@@ -40,7 +48,7 @@ def time_scan(step, n_reps=10, n_meas=3, key=None, params=()):
         acc, _ = jax.lax.scan(body, 0.0, jax.random.split(k, n_reps))
         return acc
 
-    out = run(jax.random.fold_in(key, 999), *params)
+    out = run(jax.random.fold_in(key, 2 ** 30), *params)
     jax.block_until_ready(out)
     times = []
     for i in range(n_meas):
