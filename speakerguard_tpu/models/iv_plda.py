@@ -134,10 +134,11 @@ class IvPlda(SRSModel):
         self.z_norm_stds = z_norm_stds
 
     def _raw(self, wav, rng=None, p=None, fast=False):
-        # attack-gradient graphs run the DFT matmuls at HIGH (3-pass)
-        # instead of HIGHEST (6-pass); the exact final eval keeps parity
-        prec = (jax.lax.Precision.HIGH
-                if fast and fast_active() else None)
+        # attack-gradient graphs run the DFT matmuls at reduced passes
+        # (SG_DFT_FAST_PRECISION, default HIGH=3-pass vs HIGHEST=6-pass);
+        # the exact final eval keeps parity
+        from speakerguard_tpu.models.base import fast_dft_precision
+        prec = fast_dft_precision() if fast and fast_active() else None
         return kaldi_mfcc(wav, self.mfcc_config, rng=rng, precision=prec)
 
     def _feat_step(self, feats, ori_flag, p=None):

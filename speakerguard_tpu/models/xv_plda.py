@@ -96,10 +96,10 @@ class XvPlda(SRSModel):
         self.z_norm_stds = z_norm_stds
 
     def _raw(self, wav, rng=None, p=None, fast=False):
-        # attack-gradient graphs: HIGH DFT matmuls (see iv_plda._raw)
-        from speakerguard_tpu.models.base import fast_active
-        prec = (jax.lax.Precision.HIGH
-                if fast and fast_active() else None)
+        # attack-gradient graphs: reduced-pass DFT matmuls (see iv_plda._raw)
+        from speakerguard_tpu.models.base import fast_active, \
+            fast_dft_precision
+        prec = fast_dft_precision() if fast and fast_active() else None
         return kaldi_mfcc(wav, self.mfcc_config, rng=rng, precision=prec)
 
     def _feat_step(self, feats, ori_flag, p=None):
