@@ -208,3 +208,65 @@ def test_audionet_fgsm_cli(world, tmp_path, capsys):
     import glob
     assert len(glob.glob(os.path.join(des, "**", "*.wav"),
                          recursive=True)) == 6
+
+
+def test_targeted_attack_via_label_file(world, small_mfcc, capsys):
+    """Targeted CLI flow: specify_target_label's pickle feeds attack_main
+    -targeted; the printed success rate must equal an independently
+    recomputed (decision == target) check on the saved wavs
+    (reference attackMain.py:294-329 semantics)."""
+    import pickle
+    import re
+    import jax  # noqa: F401  (backend forced by conftest)
+    from speakerguard_tpu.cli import enroll, attack_main
+    from speakerguard_tpu.cli.common import build_model
+    from speakerguard_tpu.utils.audio_io import read_wav
+
+    tmpdir, paths, data_root = world
+    model_dir = os.path.join(tmpdir, "model_file")
+    model_file = os.path.join(model_dir, "iv_plda", "speaker_model_iv_plda")
+    if not os.path.exists(model_file):   # independent of test order
+        args = enroll.parse_args(_iv_args(paths, ["-model_dir", model_dir,
+                                                  "-root", data_root]))
+        enroll.main(args)
+
+    # hand-written target file: everyone targets speaker 0 (or 1 for spk0)
+    save_path = os.path.join(tmpdir, "targets_fixed.pkl")
+    name2target = {}
+    for spk in sorted(os.listdir(os.path.join(data_root, "Spk10_test"))):
+        for f in sorted(os.listdir(os.path.join(data_root, "Spk10_test",
+                                                spk))):
+            name = os.path.splitext(f)[0]
+            name2target[name] = 1 if spk == "spk0" else 0
+    with open(save_path, "wb") as fh:
+        pickle.dump(name2target, fh)
+
+    adver_dir = os.path.join(tmpdir, "adver_targeted")
+    args = attack_main.parse_args(_iv_args(
+        paths, ["-root", data_root, "-name", "Spk10_test", "-des",
+                adver_dir, "-batch_size", "2", "-wav_length", "8000",
+                "-targeted", "-target_label_file", save_path])
+        + ["PGD", "-max_iter", "3", "-epsilon", "0.02", "-step_size",
+           "0.01"])
+    args.model_file = model_file
+    capsys.readouterr()
+    attack_main.main(args)
+    out = capsys.readouterr().out
+    sys.stdout.write(out)
+    m = re.search(r"success rate: ([0-9.]+)", out)
+    assert m, out
+    printed_rate = float(m.group(1))
+
+    base, model, _ = build_model(args)
+    n_succ, n_tot = 0, 0
+    for r, _, fs in os.walk(adver_dir):
+        for f in fs:
+            if not f.endswith(".wav"):
+                continue
+            name = os.path.splitext(f)[0]
+            adv = read_wav(os.path.join(r, f))[None, None, :]
+            decisions, _ = model.make_decision(adv)
+            n_succ += int(np.asarray(decisions)[0] == name2target[name])
+            n_tot += 1
+    assert n_tot == 6
+    assert abs(printed_rate - 100.0 * n_succ / n_tot) < 1e-6
