@@ -196,3 +196,38 @@ def test_pgd_mesh_sharded_matches_single(rng):
     assert s1 == s2
     np.testing.assert_allclose(np.asarray(adv1), np.asarray(adv2),
                                atol=1e-6)
+
+
+def test_pgd_mesh_sharded_iv_plda_matches_single(rng):
+    """Mesh-sharded PGD on the REAL (small) iv-PLDA chain — GMM one-hot
+    augmentation, packed quad contract, symmetric unpack, Cholesky +
+    block-substitution solves (ops/trsv.py) — matches the unsharded run
+    exactly (same keys, deterministic model)."""
+    from speakerguard_tpu.models.iv_plda import IvPlda, random_iv_plda_params
+    from speakerguard_tpu.attacks import PGD
+
+    params = random_iv_plda_params(rng, num_gaussians=64, dim=72,
+                                   ivector_dim=48, reduced_dim=16)
+    m = IvPlda(params)
+    enroll = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+    m.set_enrollment(["a", "b", "c"], enroll)
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 8000)).astype(np.float32))
+    y, _ = m.make_decision(x)
+    key = jax.random.PRNGKey(5)
+
+    adv1, s1 = PGD(m, task="CSI", epsilon=0.004, step_size=0.001,
+                   max_iter=2).attack(x, y, rng=key)
+    mesh = make_mesh(8, axes=("data",))
+    adv2, s2 = PGD(m, task="CSI", epsilon=0.004, step_size=0.001,
+                   max_iter=2, mesh=mesh).attack(x, y, rng=key)
+    assert len(adv2.sharding.device_set) == 8
+    assert s1 == s2
+    # Unlike the Toy/xv chains, the iv solve chain's reduction orders
+    # differ at ULP level under sharding, and sign() amplifies an
+    # isolated ULP flip to +-step_size on that element.  Contract: all
+    # but a vanishing fraction of elements bit-match, and no element
+    # leaves the common epsilon ball.
+    a1, a2 = np.asarray(adv1), np.asarray(adv2)
+    frac_diff = np.mean(np.abs(a1 - a2) > 1e-6)
+    assert frac_diff < 1e-3, frac_diff
+    assert np.max(np.abs(a1 - a2)) <= 2 * 0.004 + 1e-6
