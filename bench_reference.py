@@ -181,9 +181,104 @@ def main_iv():
     print(json.dumps(out))
 
 
+def main_audionet():
+    """Reference-equivalent AudioNet CSI-NE pipeline (audionet_csine.py):
+    per-utterance logmel Preprocessor (preemph -> STFT 1024/160/800 hann ->
+    power -> 32-mel -> 10log10, Preprocessor.py:88-112) + conv1 2D prefilter
+    + conv2-8 1D conv/BN/ReLU/maxpool stack + max-over-time + fc, with the
+    reference's per-utterance python loop and per-iteration host syncs.
+    Measures PGD on a small batch and scales to 100 iterations (cost per
+    iteration is deterministic)."""
+    import os
+
+    class AudioNetTorch(torch.nn.Module):
+        def __init__(self, num_class=10):
+            super().__init__()
+            self.conv1 = torch.nn.Sequential(
+                torch.nn.Conv2d(1, 1, [5, 5], 1, [2, 2]),
+                torch.nn.BatchNorm2d(1))
+            spec = [(32, 64, 1, True), (64, 128, 1, False),
+                    (128, 128, 1, False), (128, 128, 1, True),
+                    (128, 128, 1, False), (128, 64, 1, True),
+                    (64, 32, 0, False)]
+            blocks = []
+            for cin, cout, pad, pool in spec:
+                layers = [torch.nn.Conv1d(cin, cout, 3, padding=pad),
+                          torch.nn.BatchNorm1d(cout), torch.nn.ReLU()]
+                if pool:
+                    layers.append(torch.nn.MaxPool1d(2, 2))
+                blocks.append(torch.nn.Sequential(*layers))
+            self.blocks = torch.nn.ModuleList(blocks)
+            self.fc = torch.nn.Linear(32, num_class)
+
+        def forward(self, x):  # (1, 32, T)
+            x = self.conv1(x.unsqueeze(1)).squeeze(1)
+            for blk in self.blocks:
+                x = blk(x)
+            return self.fc(x.max(2).values)
+
+    # 32-bin mel filterbank on the 513-bin power spectrum
+    def melscale(f):
+        return 1127.0 * np.log(1.0 + f / 700.0)
+    nfft, nmel = 1024, 32
+    lo, hi = melscale(0.0), melscale(SR / 2.0)
+    delta = (hi - lo) / (nmel + 1)
+    freqs = np.arange(nfft // 2 + 1) * SR / nfft
+    mels = melscale(freqs)
+    banks = np.zeros((nmel, nfft // 2 + 1), np.float32)
+    for b in range(nmel):
+        l, c, r = lo + b * delta, lo + (b + 1) * delta, lo + (b + 2) * delta
+        banks[b] = np.maximum(0, np.minimum((mels - l) / (c - l),
+                                            (r - mels) / (r - c)))
+    melw = torch.tensor(banks)
+    window = torch.hann_window(800)
+
+    def logmel(wav):  # (L,) scale domain, like Preprocessor.forward
+        w = torch.cat([wav[:1], wav[1:] - 0.97 * wav[:-1]])
+        spec = torch.stft(w, n_fft=nfft, hop_length=160, win_length=800,
+                          window=window, return_complex=True, center=True,
+                          pad_mode="reflect")
+        power = spec.real ** 2 + spec.imag ** 2        # (513, T)
+        mel = melw @ power
+        return 10.0 * torch.log10(torch.clamp(mel, min=1e-10))
+
+    net = AudioNetTorch().eval()
+    batch, wav_len = 4, 48000
+    iters = int(os.environ.get("REF_PGD_ITERS", "20"))
+    wavs = (torch.rand(batch, wav_len) - 0.5) * 0.6
+    labels = torch.randint(0, 10, (batch,))
+
+    t0 = time.perf_counter()
+    eps, step = 0.002, 0.0004
+    x = wavs.clone()
+    lower, upper = wavs - eps, wavs + eps
+    for _ in range(iters):
+        grads = []
+        for b in range(batch):           # per-utterance python loop
+            xb = x[b].detach().requires_grad_()
+            logits = net(logmel(xb)[None])
+            loss = F.cross_entropy(logits, labels[b:b + 1])
+            loss.backward()
+            grads.append(xb.grad.clone())
+            loss.detach().cpu().numpy()  # per-iter host sync
+        g = torch.stack(grads)
+        x = torch.clamp(x + step * torch.sign(g), min=lower, max=upper)
+    dt = time.perf_counter() - t0
+    utts_per_sec = batch / (dt * (100.0 / iters))
+    out = {"utts_per_sec": round(utts_per_sec, 4), "batch": batch,
+           "wav_len": wav_len, "measured_iters": iters, "host": "cpu",
+           "model": "audionet"}
+    with open("bench_baseline_audionet.json", "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+
 def main():
-    if __import__("os").environ.get("REF_MODEL") == "iv_plda":
+    ref_model = __import__("os").environ.get("REF_MODEL")
+    if ref_model == "iv_plda":
         return main_iv()
+    if ref_model == "audionet":
+        return main_audionet()
     build_consts()
     tdnn = TDNN().eval()
     lda = torch.randn(150, 513) * 0.05
