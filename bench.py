@@ -114,6 +114,22 @@ def main():
     baseline_kind = "measured"  # torch-CPU reference-equivalent, same mode
     baseline_file = (f"bench_baseline_{model_kind}.json"
                      if model_kind != "xv_plda" else "bench_baseline.json")
+    if attack_kind == "cw2" and model_kind == "xv_plda" \
+            and os.path.exists("bench_baseline_cw2.json"):
+        # measured CW2-600-equivalent baseline (REF_ATTACK=cw2
+        # bench_reference.py) — no iteration scaling needed
+        with open("bench_baseline_cw2.json") as f:
+            baseline = json.load(f).get("utts_per_sec")
+        print(json.dumps({
+            "metric": f"{attack_kind}{max_iter}_{model_kind}"
+                      f"{defense_tag}_utts_per_sec",
+            "value": round(utts_per_sec, 3), "unit": "utterances/sec",
+            "vs_baseline": round(utts_per_sec / baseline, 2),
+            "baseline_kind": "measured",
+            "baseline_utts_per_sec": baseline,
+            "attack_success_rate_pct": asr, "batch": batch,
+        }))
+        return
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
             baseline = json.load(f).get("utts_per_sec")
