@@ -88,6 +88,19 @@ def main():
         atk = CW2(model, task="CSI", max_iter=cw2_iters,
                   binary_search_steps=cw2_bss, stop_early=False,
                   initial_const=10.0)
+    elif attack_kind == "fakebob":
+        # black-box NES perf point: BENCH_FB_ITERS committed NES iterations
+        # x BENCH_FB_SAMPLES antithetic samples per gradient estimate (each
+        # iteration = samples forward passes, no backward); early stop off
+        # for a deterministic measured iteration count
+        from speakerguard_tpu.attacks import FAKEBOB
+        fb_iters = int(os.environ.get("BENCH_FB_ITERS", "100"))
+        fb_samples = int(os.environ.get("BENCH_FB_SAMPLES", "50"))
+        max_iter = fb_iters
+        atk = FAKEBOB(model, task="CSI", epsilon=0.002, max_iter=fb_iters,
+                      samples_per_draw=fb_samples,
+                      samples_per_draw_batch_size=fb_samples,
+                      max_lr=0.001, stop_early=False)
     else:
         atk = PGD(model, task="CSI", epsilon=0.002, step_size=0.0004,
                   max_iter=max_iter, loss="Entropy", EOT_size=eot_size,
@@ -151,6 +164,11 @@ def main():
             baseline_kind = "extrapolated-iteration-scaled"
     if attack_kind == "cw2" and baseline_kind == "measured":
         baseline_kind = "extrapolated-iteration-scaled"
+    if attack_kind == "fakebob" and baseline_kind == "measured":
+        # an NES iteration costs ~samples forward passes, not one
+        # forward+backward — the PGD baseline is only an order-of-magnitude
+        # anchor here
+        baseline_kind = "extrapolated-pgd-baseline"
     if defense_tag and baseline_kind == "measured":
         baseline_kind = "extrapolated-undefended-baseline"
 
