@@ -1,4 +1,10 @@
-"""Finer stage attribution INSIDE the Kaldi MFCC frontend (iv config).
+"""CAVEAT (r3): this tool uses EAGER per-dispatch timing, which on this
+tunnel is dispatch-artifact-dominated and can even be served without real
+execution (void probes). Prefer tools/inscan.py differential-n probes and
+cross-check against bench.py e2e deltas; keep this tool for relative
+stage ordering only.
+
+Finer stage attribution INSIDE the Kaldi MFCC frontend (iv config).
 
 Prefixes: framing(+dc+energy) -> +rfft_power -> full mfcc (mel/log/dct/
 lifter/energy-sub) -> +delta -> +cmvn.  Same pitfall-avoidance as

@@ -1,4 +1,10 @@
-"""Stage attribution for the iv-PLDA PGD hot path on the real chip.
+"""CAVEAT (r3): this tool uses EAGER per-dispatch timing, which on this
+tunnel is dispatch-artifact-dominated and can even be served without real
+execution (void probes). Prefer tools/inscan.py differential-n probes and
+cross-check against bench.py e2e deltas; keep this tool for relative
+stage ordering only.
+
+Stage attribution for the iv-PLDA PGD hot path on the real chip.
 
 Times grad (wrt the wav) of progressively longer pipeline prefixes;
 consecutive differences attribute cost to each stage:

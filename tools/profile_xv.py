@@ -1,4 +1,10 @@
-"""Stage attribution for the xv-PLDA PGD hot path on the real chip.
+"""CAVEAT (r3): this tool uses EAGER per-dispatch timing, which on this
+tunnel is dispatch-artifact-dominated and can even be served without real
+execution (void probes). Prefer tools/inscan.py differential-n probes and
+cross-check against bench.py e2e deltas; keep this tool for relative
+stage ordering only.
+
+Stage attribution for the xv-PLDA PGD hot path on the real chip.
 
 Same method and pitfall-avoidance as profile_iv.py (random-weighted prefix
 losses so no prefix collapses under XLA DCE; pre-staged distinct inputs so
