@@ -1,4 +1,8 @@
-"""Microbenchmark: i-vector quad contraction variants + SPD solve cost.
+"""CAVEAT (r3): eager per-dispatch timing — dispatch-artifact-dominated
+on this tunnel and occasionally served without real execution (void
+probes). Prefer tools/inscan.py; cross-check against bench.py e2e.
+
+Microbenchmark: i-vector quad contraction variants + SPD solve cost.
 
 The (B, C) x (C, P=IV(IV+1)/2) contraction that assembles the posterior
 precision L is the HBM-dominant op of i-vector extraction (quad is 1.48 GB

@@ -1,4 +1,8 @@
-"""Microbenchmark SPD-solve strategies for the i-vector system
+"""CAVEAT (r3): eager per-dispatch timing — dispatch-artifact-dominated
+on this tunnel and occasionally served without real execution (void
+probes). Prefer tools/inscan.py; cross-check against bench.py e2e.
+
+Microbenchmark SPD-solve strategies for the i-vector system
 (B=128, N=600) on the real chip.
 
   spd_solve   : current — cholesky + cho_solve per RHS (fwd) + cho_solve
