@@ -56,7 +56,17 @@ def time_scan(step, n_reps=10, n_meas=3, key=None, params=()):
         out = run(jax.random.fold_in(key, i), *params)
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / n_reps)
-    return float(np.median(times)) * 1e3
+    ms = float(np.median(times)) * 1e3
+    if ms < 0.2:
+        # observed r3: the tunnel sometimes "completes" a probe in ~0 ms
+        # with correct outputs — some result-serving path bypasses real
+        # execution.  Flag it loudly; the caller must not trust this rep.
+        import sys
+        print(f"[inscan] WARNING: probe measured {ms:.3f} ms/rep — likely "
+              "VOID (tunnel served without real execution); re-run in a "
+              "fresh process and cross-check with a bench.py e2e delta",
+              file=sys.stderr)
+    return ms
 
 
 def time_grad_body(loss, gen, n_reps=10, n_meas=3, params=()):
