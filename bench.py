@@ -127,22 +127,12 @@ def main():
     baseline_kind = "measured"  # torch-CPU reference-equivalent, same mode
     baseline_file = (f"bench_baseline_{model_kind}.json"
                      if model_kind != "xv_plda" else "bench_baseline.json")
-    if attack_kind == "cw2" and model_kind == "xv_plda" \
-            and os.path.exists("bench_baseline_cw2.json"):
+    cw2_measured = (attack_kind == "cw2" and model_kind == "xv_plda"
+                    and os.path.exists("bench_baseline_cw2.json"))
+    if cw2_measured:
         # measured CW2-600-equivalent baseline (REF_ATTACK=cw2
         # bench_reference.py) — no iteration scaling needed
-        with open("bench_baseline_cw2.json") as f:
-            baseline = json.load(f).get("utts_per_sec")
-        print(json.dumps({
-            "metric": f"{attack_kind}{max_iter}_{model_kind}"
-                      f"{defense_tag}_utts_per_sec",
-            "value": round(utts_per_sec, 3), "unit": "utterances/sec",
-            "vs_baseline": round(utts_per_sec / baseline, 2),
-            "baseline_kind": "measured",
-            "baseline_utts_per_sec": baseline,
-            "attack_success_rate_pct": asr, "batch": batch,
-        }))
-        return
+        baseline_file = "bench_baseline_cw2.json"
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
             baseline = json.load(f).get("utts_per_sec")
@@ -155,14 +145,20 @@ def main():
         # stand-in, so the multiple is tagged extrapolated (ADVICE r2)
         baseline = 0.0562
         baseline_kind = "extrapolated-from-xv-standin"
-    if max_iter != 100:
-        # baselines are PGD-100; scaling linearly in iterations is exact
-        # for PGD but only approximate for CW2 (Adam + binary-search
+    if cw2_measured:
+        # bench_baseline_cw2.json is already per-CW2-600 run; scale only
+        # if the bench deviates from 600 inner iterations
+        if max_iter != 600:
+            baseline = baseline * (600.0 / max_iter)
+    elif max_iter != 100:
+        # PGD-100 baselines; scaling linearly in iterations is exact for
+        # PGD but only approximate for CW2 (Adam + binary-search
         # bookkeeping) — tag accordingly
         baseline = baseline * (100.0 / max_iter)
         if attack_kind == "cw2" and baseline_kind == "measured":
             baseline_kind = "extrapolated-iteration-scaled"
-    if attack_kind == "cw2" and baseline_kind == "measured":
+    if attack_kind == "cw2" and not cw2_measured \
+            and baseline_kind == "measured":
         baseline_kind = "extrapolated-iteration-scaled"
     if attack_kind == "fakebob" and baseline_kind == "measured":
         # an NES iteration costs ~samples forward passes, not one
