@@ -86,3 +86,39 @@ def test_pgd_with_forced_fast_stays_in_ball(small_iv, monkeypatch):
     d, _ = model.make_decision(adver)
     assert [bool(int(di) != int(yi)) for di, yi in
             zip(np.asarray(d), np.asarray(y))] == list(success)
+
+
+def test_fused_stats_block_tracks_exact_at_scale(monkeypatch):
+    """The fused softmax+stats block at a realistic UBM slice (C=512,
+    D=72 — the production dim class, not the tiny fixtures): forward
+    stats and feature gradients track the exact f32 path (cos > 0.999,
+    sign agreement > 99%)."""
+    import jax
+    from speakerguard_tpu.models import gmm as G
+
+    rng = np.random.default_rng(23)
+    params = G.random_gmm(rng, 512, 72)
+    feats = jnp.asarray(rng.standard_normal((2, 60, 72)).astype(np.float32))
+    monkeypatch.setenv("SG_FAST", "1")
+
+    z_ex, f_ex = G.zeroth_first_stats(params, feats, fast=False)
+    z_fa, f_fa = G.zeroth_first_stats(params, feats, fast=True)
+    assert np.abs(np.asarray(z_fa) - np.asarray(z_ex)).max() < 0.05
+    scale = np.abs(np.asarray(f_ex)).max()
+    assert np.abs(np.asarray(f_fa) - np.asarray(f_ex)).max() < 0.05 * scale
+
+    def mk(fn):
+        def loss(f):
+            z, fs = fn(f)
+            return jnp.sum(z[:, ::7]) + jnp.sum(fs[:, ::5, :] ** 2)
+        return loss
+
+    g_ex = np.asarray(jax.grad(mk(
+        lambda f: G.zeroth_first_stats(params, f, fast=False)))(feats))
+    g_fa = np.asarray(jax.grad(mk(
+        lambda f: G.zeroth_first_stats(params, f, fast=True)))(feats))
+    cos = (g_ex * g_fa).sum() / (np.linalg.norm(g_ex)
+                                 * np.linalg.norm(g_fa))
+    assert cos > 0.999
+    nz = np.abs(g_ex) > np.abs(g_ex).max() * 1e-3
+    assert np.mean(np.sign(g_ex[nz]) == np.sign(g_fa[nz])) > 0.99
