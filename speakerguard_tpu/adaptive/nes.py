@@ -16,7 +16,8 @@ from speakerguard_tpu.attacks.losses import majority_vote
 
 
 def nes_grad(eot_fn, x, y, *, samples_per_draw: int, sigma: float,
-             key, num_classes: int, eot_keys, samples_batch: int = None):
+             key, num_classes: int, eot_keys, samples_batch: int = None,
+             sample_sharding=None):
     """x: (B, L); y: (B,).  eot_fn = eot_no_grad(...) closure.
 
     Returns (mean_loss (B,), grad (B, L), adver_loss (B,), adver_score
@@ -25,12 +26,26 @@ def nes_grad(eot_fn, x, y, *, samples_per_draw: int, sigma: float,
     samples_batch: optional memory knob — evaluate the S+1 sample axis in
     chunks of samples_batch*B model inputs (the reference's
     samples_per_draw_batch_size, NES.py:17-18).
+
+    sample_sharding: optional NamedSharding, e.g. P('eot', 'data', None)
+    over a (data x eot) mesh — constrains the (S+1, B, L) sample tensor so
+    the antithetic-sample axis shards over 'eot' and the batch over 'data';
+    XLA inserts the sample-mean all-reduce.  The noise VALUES are layout-
+    independent (jax.random is deterministic in the key), so sharded and
+    single-device estimates agree to reduction-order roundoff.  Mutually
+    exclusive with samples_batch chunking (chunking is a single-device
+    memory knob; the mesh IS the memory knob when sharded).
     """
     b, length = x.shape
     half = samples_per_draw // 2
     noise = jax.random.normal(key, (half, b, length), x.dtype)
     noise = jnp.concatenate([jnp.zeros((1, b, length), x.dtype),
                              noise, -noise], axis=0)       # (S+1, B, L)
+    if sample_sharding is not None:
+        assert samples_batch is None or samples_batch >= noise.shape[0], \
+            "sample_sharding and samples_batch chunking are exclusive"
+        samples_batch = None
+        noise = jax.lax.with_sharding_constraint(noise, sample_sharding)
     s1 = noise.shape[0]
 
     eval_x = (x[None] + sigma * noise).reshape(s1 * b, length)

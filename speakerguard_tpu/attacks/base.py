@@ -102,3 +102,13 @@ def assert_scale_domain(x, what="attack input"):
             "[-1, 1). Origin-domain (int16-valued float) audio must be "
             "divided by 2**15 exactly once before attacking; "
             "Dataset(normalize=True) already yields the scale domain.")
+    if x.size and 0.0 < m < 1e-3:
+        # the opposite mis-scale: scale-domain audio divided by 2**15 again
+        # (max|x| ~3e-5) runs attacks on near-silence with meaningless
+        # success rates — warn loudly (real audio can be quiet, so not fatal)
+        import warnings
+        warnings.warn(
+            f"{what} has max|x|={m:.2e}; implausibly small for audio — "
+            "was scale-domain input divided by 2**15 a second time? "
+            "Dataset(normalize=True) already yields the scale domain.",
+            stacklevel=2)

@@ -43,10 +43,14 @@ class CW2(Attack):
     def __init__(self, model, task="CSI", targeted=False, confidence=0.0,
                  initial_const=1e-3, binary_search_steps=9, max_iter=10000,
                  stop_early=True, stop_early_iter=1000, lr=1e-2,
-                 batch_size=None, verbose=0):
+                 batch_size=None, verbose=0, mesh=None):
         # batch_size: memory knob chunking the input like the reference's
         # attack() loop; None = whole input in one compiled batch
+        # mesh: optional Mesh with a 'data' axis — batch shards over chips,
+        # params replicate; the inner Adam loop is per-sample math so it
+        # runs DP with zero collectives (same contract as PGD)
         self.batch_size = batch_size
+        self.mesh = mesh
         self.model = model
         self.task = task
         self.targeted = targeted
@@ -161,6 +165,8 @@ class CW2(Attack):
         return run
 
     def attack_batch(self, x, y, rng):
+        x, y = self.shard_inputs(x, y)
+        params = self.replicate_params(self.model.jit_params())
         b = x.shape[0]
         const = np.full(b, self.initial_const, np.float64)
         lower_bound = np.zeros(b)
@@ -174,7 +180,7 @@ class CW2(Attack):
         for step in range(self.binary_search_steps):
             key = jax.random.fold_in(rng, step)
             best_l2, best_score, gbest = self._inner(
-                self.model.jit_params(), x, y, jnp.asarray(const, jnp.float32),
+                params, x, y, jnp.asarray(const, jnp.float32),
                 key)
             global_state = _merge_best(gbest, global_state)
             best_score = np.asarray(best_score)

@@ -40,10 +40,14 @@ class FAKEBOB(Attack):
                  samples_per_draw_batch_size=50, sigma=0.001, momentum=0.9,
                  plateau_length=5, plateau_drop=2.0, stop_early=True,
                  stop_early_iter=100, batch_size=None, EOT_size=1,
-                 EOT_batch_size=1, verbose=0):
+                 EOT_batch_size=1, verbose=0, mesh=None):
         # batch_size: memory knob chunking the input (None = whole input in
         # one compiled batch); NES lanes already chunk via samples_batch
+        # mesh: optional Mesh with a 'data' axis — the attack batch (and
+        # with it the folded NES sample evaluations) shards across chips,
+        # params replicate (same DP contract as PGD/CW2)
         self.batch_size = batch_size
+        self.mesh = mesh
         self.model = model
         self.threshold = threshold
         self.task = task
@@ -200,6 +204,8 @@ class FAKEBOB(Attack):
         return restore(adver_x), success
 
     def _attack_whole(self, x, y, rng):
+        x, y = self.shard_inputs(x, y)
+        params = self.replicate_params(self.model.jit_params())
         lower = jnp.clip(x - self.epsilon, -1.0)
         upper = jnp.clip(x + self.epsilon, None, 1.0)
 
@@ -208,7 +214,7 @@ class FAKEBOB(Attack):
         thr = jnp.asarray(self.threshold if self.threshold is not None
                           else 0.0, jnp.float32)
         best_x, best_loss = self._run_cache["run"](
-            self.model.jit_params(), x, y, lower, upper, thr, rng)
+            params, x, y, lower, upper, thr, rng)
         success = (np.asarray(best_loss) < 0).tolist()
         return best_x, success
 

@@ -8,8 +8,13 @@ search over a spectral-compression factor.
     iterations (reference _kenan_fft.py:180-244).
   * ``ssa`` variant: reconstruct from the top-k SSA components; default is
     the on-device SVD + masked reconstruction (ops/ssa.py, measured
-    60-600x over the reference's forced-CPU SVD); SG_SSA_DEVICE=0 restores
-    the host numpy path; batch=1 like the reference.
+    60-600x over the reference's forced-CPU SVD).  Unlike the reference's
+    per-utterance loop (_kenan.py:181-291), the whole (B, L) batch runs at
+    once: the SVDs are vmapped, the per-iteration reconstruction+decision
+    is ONE jitted batched step, and the binary search runs per-lane on
+    host in float64 (bit-identical to the per-sample Python floats, lanes
+    that early-stop freeze).  SG_SSA_DEVICE=0 restores the host numpy SVD
+    (f64 oracle) around the same batched search.
 """
 
 import numpy as np
@@ -87,70 +92,86 @@ class Kenan(Attack):
         return os.environ.get("SG_SSA_DEVICE", "1") != "0"
 
     def _attack_ssa(self, x, y, rng):
-        """batch=1 like the reference (_kenan.py:181-291).  Default: SSA on
-        device — one SVD per utterance, then mask-selected reconstruction +
-        decision fused into one jitted step per binary-search iteration
-        (measured 60-600x faster SVD than the reference's forced-CPU path,
-        see ops/ssa.py).  SG_SSA_DEVICE=0 restores host numpy SSA."""
-        assert x.shape[0] == 1, "ssa variant is single-utterance"
-        wav = np.asarray(x[0], np.float64)
-        if 0.9 * wav.max() <= 1 and 0.9 * wav.min() >= -1:
-            wav_i = (wav * ABS_MAX)
-        else:
-            wav_i = wav
+        """Batched SSA binary search (beats the reference's batch=1 loop,
+        _kenan.py:181-291).  One vmapped SVD for the whole batch, then per
+        binary-search iteration ONE jitted step reconstructs every lane
+        from its own `keep` count and takes the model decision.  The search
+        state (min/max/val, per-lane) lives on host in float64 — the exact
+        IEEE-double arithmetic the per-sample Python loop performs, so a
+        B>1 call is bit-identical to B separate calls for a deterministic
+        model (tested).  Lanes that early-stop freeze: their state and best
+        reconstruction never change again, exactly like the per-sample
+        break.  SG_SSA_DEVICE=0 swaps the vmapped f32 device SVD for the
+        host numpy float64 oracle around the same batched search."""
+        b, n = x.shape
+        wav = np.asarray(x, np.float64)
+        # per-utterance scale sniff (reference _kenan.py:188-193)
+        in_unit = ((0.9 * wav.max(axis=1) <= 1)
+                   & (0.9 * wav.min(axis=1) >= -1))
+        wav_i = np.where(in_unit[:, None], wav * ABS_MAX, wav)
         wav_i = wav_i.astype(np.int16).astype(np.float64)
-        n = len(wav_i)
         window = min(int(n * 0.05), 3000)
         use_device = self._ssa_use_device()
         if use_device:
-            pc, s, v = ssa_device(jnp.asarray(wav_i, jnp.float32), window)
+            pc, _, v = jax.vmap(lambda w: ssa_device(w, window))(
+                jnp.asarray(wav_i, jnp.float32))
             if self._ssa_step is None:
                 model = self.model
 
                 def step(params, pc_, v_, keep, key):
-                    rec = inv_ssa_masked(pc_, v_, keep)
-                    d, _ = model.make_decision(rec[None] / ABS_MAX, rng=key,
+                    rec = jax.vmap(inv_ssa_masked)(pc_, v_, keep)
+                    d, _ = model.make_decision(rec / ABS_MAX, rng=key,
                                                params=params)
-                    return rec, d[0]
+                    return rec, d
 
                 self._ssa_step = jax.jit(step)
         else:
-            pc, s, v = ssa(wav_i, window)
+            host = [ssa(wav_i[i], window) for i in range(b)]
+            pc_h = [h[0] for h in host]
+            v_h = [h[2] for h in host]
 
-        def keep_of(val):
-            k = int(window * val / 100.0)
-            return max(k, 1)
+        def keep_of(vals):
+            return np.maximum((window * vals / 100.0).astype(np.int64), 1)
 
-        min_a, max_a, val = 0.0, float(self.raster_width), \
-            float(self.raster_width) / 2
+        min_a = np.zeros(b)
+        max_a = np.full(b, float(self.raster_width))
+        val = np.full(b, float(self.raster_width) / 2)
         best = wav_i.copy()
-        succ = False
-        label = int(y[0])
+        succ = np.zeros(b, bool)
+        frozen = np.zeros(b, bool)
+        label = np.asarray(y)
         for it in range(self.max_iter):
-            key = jax.random.fold_in(rng, it)
-            if use_device:
-                rec, d0 = self._ssa_step(self.model.jit_params(), pc, v,
-                                         keep_of(val), key)
-                rec = np.asarray(rec, np.float64)
-                pred = int(d0)
-            else:
-                rec = inv_ssa(pc, v, np.arange(keep_of(val)))
-                d, _ = self.model.make_decision(
-                    jnp.asarray((rec / ABS_MAX).astype(np.float32))[None],
-                    rng=key)
-                pred = int(d[0])
-            hit = (pred == label) if self.targeted else (pred != label)
-            if hit:
-                best = rec
-                succ = True
-                min_a = val  # ssa: success -> keep fewer components
-            else:
-                max_a = val
-            new_val = abs(min_a + max_a) / 2
-            if keep_of(new_val) == keep_of(val) and self.early_stop:
+            if frozen.all():
                 break
-            val = new_val
-        return jnp.asarray((best / ABS_MAX).astype(np.float32))[None], [succ]
+            key = jax.random.fold_in(rng, it)
+            keep = keep_of(val)
+            if use_device:
+                rec, d = self._ssa_step(self.model.jit_params(), pc, v,
+                                        jnp.asarray(keep, jnp.int32), key)
+                rec = np.asarray(rec, np.float64)
+                pred = np.asarray(d)
+            else:
+                rec = np.stack([inv_ssa(pc_h[i], v_h[i],
+                                        np.arange(keep[i]))
+                                for i in range(b)])
+                d, _ = self.model.make_decision(
+                    jnp.asarray((rec / ABS_MAX).astype(np.float32)),
+                    rng=key)
+                pred = np.asarray(d)
+            hit = (pred == label) if self.targeted else (pred != label)
+            live = ~frozen
+            upd = hit & live
+            best[upd] = rec[upd]
+            succ |= upd
+            # success -> keep fewer components (reference direction)
+            min_a = np.where(upd, val, min_a)
+            max_a = np.where(live & ~hit, val, max_a)
+            new_val = np.abs(min_a + max_a) / 2
+            if self.early_stop:
+                frozen |= live & (keep_of(new_val) == keep)
+            val = np.where(frozen, val, new_val)
+        adver = jnp.asarray((best / ABS_MAX).astype(np.float32))
+        return adver, [bool(s) for s in succ]
 
     # ------------------------------------------------------------------
     def attack(self, x, y, rng=None, fs=16000):
@@ -161,11 +182,6 @@ class Kenan(Attack):
             adver, succ = self._attack_fft(x, y, rng)
             return restore(adver), succ
         if self.atk_name == "ssa":
-            outs, succ = [], []
-            for i in range(x.shape[0]):
-                o, s = self._attack_ssa(x[i:i + 1], y[i:i + 1],
-                                        jax.random.fold_in(rng, i))
-                outs.append(o)
-                succ += s
-            return restore(jnp.concatenate(outs, 0)), succ
+            adver, succ = self._attack_ssa(x, y, rng)
+            return restore(adver), succ
         raise NotImplementedError(self.atk_name)

@@ -95,6 +95,10 @@ def main(args):
     os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
     logger = logging.getLogger("speakerguard.natural_train")
     logger.setLevel(logging.DEBUG)
+    logger.propagate = False
+    for h in list(logger.handlers):  # re-invocation must not duplicate lines
+        logger.removeHandler(h)
+        h.close()
     logger.addHandler(logging.FileHandler(log_path))
     key = jax.random.PRNGKey(args.seed)
     for i_epoch in range(args.num_epoches):

@@ -56,8 +56,14 @@ def fast_dft_precision():
     at HIGHEST regardless."""
     import os
     name = os.environ.get("SG_DFT_FAST_PRECISION", "high")
-    return {"high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[name]
+    table = {"high": jax.lax.Precision.HIGH,
+             "default": jax.lax.Precision.DEFAULT}
+    if name not in table:
+        raise ValueError(
+            f"SG_DFT_FAST_PRECISION={name!r}: accepted values are "
+            f"{sorted(table)} (the exact final evaluation always runs at "
+            "HIGHEST regardless)")
+    return table[name]
 
 
 def decide(scores: jnp.ndarray, threshold: float):

@@ -75,16 +75,25 @@ def _packed_indices(d: int):
 
 
 def build_gmm(gconsts: np.ndarray, weights: np.ndarray,
-              means_invcovars: np.ndarray, invcovars: np.ndarray
-              ) -> FullGMMParams:
+              means_invcovars: np.ndarray, invcovars: np.ndarray,
+              fast_copies: bool | None = None) -> FullGMMParams:
     """Host-side preprocessing: derive means and the packed quadratic
-    projection matrix (done once at model load)."""
+    projection matrix (done once at model load).
+
+    fast_copies=None (default) materializes the bf16 fast-path copy only
+    when the fast path is active (models.base.fast_active — TPU, or SG_FAST
+    =1): exact-path-only runs (CPU test mesh, CW2/FAKEBOB final evals)
+    shouldn't pay the extra HBM/host footprint.  The fast entry points fall
+    back to an in-graph cast when the copy is absent (fast_proj)."""
     c, d = means_invcovars.shape
     means = np.linalg.solve(invcovars, means_invcovars[..., None])[..., 0]
     rows, cols = _packed_indices(d)
     w = invcovars * np.where(np.eye(d, dtype=bool), 1.0, 2.0)
     packed = w[:, rows, cols]                      # (C, D(D+1)/2)
     proj = np.concatenate([means_invcovars, -0.5 * packed], axis=1).T
+    if fast_copies is None:
+        from speakerguard_tpu.models.base import fast_active
+        fast_copies = fast_active()
     return FullGMMParams(
         gconsts=jnp.asarray(gconsts, jnp.float32),
         weights=jnp.asarray(weights, jnp.float32),
@@ -92,8 +101,18 @@ def build_gmm(gconsts: np.ndarray, weights: np.ndarray,
         invcovars=jnp.asarray(invcovars, jnp.float32),
         means=jnp.asarray(means, jnp.float32),
         quad_proj=jnp.asarray(proj, jnp.float32),
-        quad_proj_bf16=jnp.asarray(proj, jnp.bfloat16),
+        quad_proj_bf16=jnp.asarray(proj, jnp.bfloat16) if fast_copies
+        else None,
     )
+
+
+def fast_proj(params: "FullGMMParams") -> jnp.ndarray:
+    """bf16 quad_proj for the fast path.  Falls back to an in-graph cast
+    when the build-time copy was skipped (SG_FAST forced on after build —
+    CPU tests): value-identical (bf16 rounding of the same f32 tensor),
+    just an extra f32 read per call."""
+    qp = params.quad_proj_bf16
+    return qp if qp is not None else params.quad_proj.astype(jnp.bfloat16)
 
 
 def random_gmm(rng: np.random.Generator, num_gaussians: int = 2048,
@@ -334,9 +353,8 @@ def component_loglike(params: FullGMMParams, feats: jnp.ndarray,
         assert precision is None, \
             "3-D loglike precision is controlled by SG_GMM_PRECISION"
         if fast:
-            assert params.quad_proj_bf16 is not None
             sg = jax.lax.stop_gradient
-            return _loglike_fast(sg(params.quad_proj_bf16),
+            return _loglike_fast(sg(fast_proj(params)),
                                  sg(params.gconsts), feats)
         # _loglike_fused's custom VJP returns zero cotangents for the GMM
         # parameters (attacks differentiate wrt feats only).  stop_gradient
@@ -453,14 +471,13 @@ def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray,
     stats kernel (ops/pallas_gmm_stats.py — opt-in, see _use_stats_pallas).
     """
     if fast:
-        assert params.quad_proj_bf16 is not None
         sg = jax.lax.stop_gradient
         if _use_stats_pallas():
             from speakerguard_tpu.ops.pallas_gmm_stats import fused_stats
             interpret = jax.default_backend() != "tpu"
-            return fused_stats(sg(params.quad_proj_bf16),
+            return fused_stats(sg(fast_proj(params)),
                                sg(params.gconsts), feats, interpret)
-        return _softmax_stats_fast(sg(params.quad_proj_bf16),
+        return _softmax_stats_fast(sg(fast_proj(params)),
                                    sg(params.gconsts), feats)
     posts = posteriors(params, feats, fast=fast)   # (B, T, C)
     zeroth = jnp.sum(posts, axis=-2)               # (B, C)

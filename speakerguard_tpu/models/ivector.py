@@ -52,7 +52,8 @@ class IvectorExtractorParams(NamedTuple):
 
 
 def build_extractor(extractor_matrix: np.ndarray, sigma_inv: np.ndarray,
-                    offset: float) -> IvectorExtractorParams:
+                    offset: float, fast_copies: bool | None = None
+                    ) -> IvectorExtractorParams:
     # the quad precompute is ~90 GFLOP at full size (C=2048, IV=600): run it
     # on device (seconds of host numpy -> milliseconds of MXU).  quad_c is
     # symmetric, so only the packed upper triangle is stored — per-iteration
@@ -72,15 +73,33 @@ def build_extractor(extractor_matrix: np.ndarray, sigma_inv: np.ndarray,
         return proj, quad[:, rows, cols]
 
     proj, quad_packed = _pre(m, s)
+    # bf16 copies only when the fast path can run (quad_packed_bf16 is
+    # ~740 MB at full size): exact-path-only processes (CPU test mesh,
+    # SG_FAST=0) skip the footprint; _fast_quad/_fast_proj fall back to an
+    # in-graph cast if SG_FAST is forced on after build (ADVICE r3)
+    if fast_copies is None:
+        from speakerguard_tpu.models.base import fast_active
+        fast_copies = fast_active()
     return IvectorExtractorParams(
         extractor_matrix=m,
         sigma_inv=s,
         offset=jnp.asarray(offset, jnp.float32),
         quad_packed=quad_packed,
         proj=proj,
-        quad_packed_bf16=quad_packed.astype(jnp.bfloat16),
-        proj_bf16=proj.astype(jnp.bfloat16),
+        quad_packed_bf16=(quad_packed.astype(jnp.bfloat16) if fast_copies
+                          else None),
+        proj_bf16=proj.astype(jnp.bfloat16) if fast_copies else None,
     )
+
+
+def _fast_quad(params: IvectorExtractorParams) -> jnp.ndarray:
+    q = params.quad_packed_bf16
+    return q if q is not None else params.quad_packed.astype(jnp.bfloat16)
+
+
+def _fast_proj(params: IvectorExtractorParams) -> jnp.ndarray:
+    p = params.proj_bf16
+    return p if p is not None else params.proj.astype(jnp.bfloat16)
 
 
 def random_extractor(rng: np.random.Generator, num_gaussians: int = 2048,
@@ -315,13 +334,12 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
     # parity); cotangent at BWD_PRECISION (gradients feed sign() steps).
     from speakerguard_tpu.models.gmm import HOT_PRECISION
     if fast:
-        assert params.quad_packed_bf16 is not None
         from speakerguard_tpu.models.gmm import fast_dot_dtype
         dt = fast_dot_dtype()
         sg = jax.lax.stop_gradient
-        l_packed = _quad_contract_fast(zeroth, sg(params.quad_packed_bf16))
+        l_packed = _quad_contract_fast(zeroth, sg(_fast_quad(params)))
         linear = jnp.einsum("cid,bcd->bi",
-                            sg(params.proj_bf16).astype(dt),
+                            sg(_fast_proj(params)).astype(dt),
                             first.astype(dt),
                             preferred_element_type=jnp.float32)
     else:

@@ -83,3 +83,29 @@ def sharded_attack_grad(score_fn, loss_fn, mesh: Mesh):
     keys_s = NamedSharding(mesh, P("eot", None))
     return jax.jit(eot_grad, in_shardings=(data2, data1, keys_s),
                    out_shardings=(data1, data2))
+
+
+def sharded_nes_grad(eot_fn, mesh: Mesh, *, samples_per_draw: int,
+                     sigma: float, num_classes: int):
+    """Black-box NES gradient estimate sharded over a (data, eot) mesh:
+    the batch axis shards over 'data', the antithetic-sample axis over
+    'eot' (reference adaptive_attack/NES.py:19-54 semantics — its Python
+    loop over draw batches becomes a sharded array axis).  XLA inserts the
+    sample-mean all-reduce over ICI.
+
+    Returns jitted (x (B, L), y (B,), key, eot_keys (E, 2)) ->
+    nes_grad's quintuple with batchwise outputs sharded over 'data'."""
+    from speakerguard_tpu.adaptive.nes import nes_grad
+
+    sample_s = NamedSharding(mesh, P("eot", "data", None))
+
+    def fn(x, y, key, eot_keys):
+        return nes_grad(eot_fn, x, y, samples_per_draw=samples_per_draw,
+                        sigma=sigma, key=key, num_classes=num_classes,
+                        eot_keys=eot_keys, sample_sharding=sample_s)
+
+    data1 = NamedSharding(mesh, P("data"))
+    data2 = NamedSharding(mesh, P("data", None))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(fn, in_shardings=(data2, data1, repl, repl),
+                   out_shardings=(data1, data2, data1, data2, data1))

@@ -89,7 +89,7 @@ def test_fused_stats_matches_exact(rng):
     feats = jnp.asarray(rng.standard_normal((2, 37, 10)).astype(np.float32))
 
     z_ex, f_ex = G.zeroth_first_stats(params, feats, fast=False)
-    z_got, f_got = fused_stats(params.quad_proj_bf16, params.gconsts,
+    z_got, f_got = fused_stats(G.fast_proj(params), params.gconsts,
                                feats, True)
     # T=37 with t_tile=128 exercises the padded-row masking
     np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ex),
@@ -116,7 +116,7 @@ def test_fused_stats_grad_tracks_exact(rng):
     g_ex = np.asarray(jax.grad(mk_loss(
         lambda f: G.zeroth_first_stats(params, f, fast=False)))(feats))
     g_pal = np.asarray(jax.grad(mk_loss(
-        lambda f: fused_stats(params.quad_proj_bf16, params.gconsts,
+        lambda f: fused_stats(G.fast_proj(params), params.gconsts,
                               f, True)))(feats))
     cos = (g_ex * g_pal).sum() / (np.linalg.norm(g_ex)
                                   * np.linalg.norm(g_pal))

@@ -175,6 +175,91 @@ def test_host_sharded_batches(rng, tmp_path):
     assert np.isfinite(float(out[3]))
 
 
+def test_nes_mesh_sharded_matches_single(rng):
+    """Black-box NES gradient estimate over a (data x eot) mesh — the
+    antithetic-sample axis sharded over 'eot', batch over 'data' — agrees
+    with the single-device estimator to reduction-order roundoff (VERDICT
+    r3 #5; reference adaptive_attack/NES.py:19-54 semantics)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from test_attacks import ToyModel
+    from speakerguard_tpu.adaptive.eot import eot_no_grad
+    from speakerguard_tpu.adaptive.nes import nes_grad
+    from speakerguard_tpu.parallel.mesh import sharded_nes_grad
+    from speakerguard_tpu.attacks.losses import margin_loss
+
+    m = ToyModel()
+    loss_fn = lambda s, l: margin_loss(  # noqa: E731
+        s, l, task="CSI", targeted=False, clip_max=False)
+    eot_fn = eot_no_grad(lambda xx, kk: m.score(xx), loss_fn, m.threshold)
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 4000)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, 8))
+    key = jax.random.PRNGKey(7)
+    eot_keys = jax.random.split(jax.random.PRNGKey(8), 1)
+
+    want = nes_grad(eot_fn, x, y, samples_per_draw=8, sigma=1e-3, key=key,
+                    num_classes=4, eot_keys=eot_keys)
+
+    from jax.sharding import Mesh
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "eot"))
+    fn = sharded_nes_grad(eot_fn, mesh, samples_per_draw=8, sigma=1e-3,
+                          num_classes=4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    got = fn(xs, ys, key, eot_keys)
+    assert len(got[1].sharding.device_set) == 8
+    names = ("mean_loss", "grad", "adver_loss", "adver_score", "predict")
+    for name, a, b in zip(names, want, got):
+        # the sample-mean all-reduce reorders f32 summation: observed max
+        # |diff| ~2e-5 on O(1) grads — tolerance covers reduction order,
+        # not algorithmic drift
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_fakebob_mesh_sharded_matches_single(rng):
+    """FAKEBOB with mesh= shards the batch over 'data' and reproduces the
+    single-device attack (deterministic model, same keys)."""
+    from test_attacks import ToyModel
+    from speakerguard_tpu.attacks import FAKEBOB
+
+    m = ToyModel()
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 4000)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, 8))
+    key = jax.random.PRNGKey(11)
+    kw = dict(task="CSI", epsilon=0.002, max_iter=6, samples_per_draw=4,
+              samples_per_draw_batch_size=4, max_lr=0.001, stop_early=False)
+    adv1, s1 = FAKEBOB(m, **kw).attack(x, y, rng=key)
+    mesh = make_mesh(8, axes=("data",))
+    atk = FAKEBOB(m, mesh=mesh, **kw)
+    adv2, s2 = atk.attack(x, y, rng=key)
+    assert len(adv2.sharding.device_set) == 8
+    assert s1 == s2
+    np.testing.assert_allclose(np.asarray(adv1), np.asarray(adv2),
+                               atol=2e-6)
+
+
+def test_cw2_mesh_sharded_matches_single(rng):
+    """CW2 with mesh= shards the batch over 'data' and reproduces the
+    single-device attack (per-sample Adam math, zero collectives)."""
+    from test_attacks import ToyModel
+    from speakerguard_tpu.attacks import CW2
+
+    m = ToyModel()
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 4000)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, 8))
+    key = jax.random.PRNGKey(13)
+    kw = dict(task="CSI", max_iter=8, binary_search_steps=2,
+              stop_early=False, initial_const=10.0)
+    adv1, s1 = CW2(m, **kw).attack(x, y, rng=key)
+    mesh = make_mesh(8, axes=("data",))
+    adv2, s2 = CW2(m, mesh=mesh, **kw).attack(x, y, rng=key)
+    assert len(adv2.sharding.device_set) == 8
+    assert s1 == s2
+    np.testing.assert_allclose(np.asarray(adv1), np.asarray(adv2),
+                               atol=2e-6)
+
+
 def test_pgd_mesh_sharded_matches_single(rng):
     """The mesh option on PGD shards the batch over 'data' with identical
     results to the unsharded run (same keys, deterministic model)."""

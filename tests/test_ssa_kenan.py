@@ -47,6 +47,37 @@ def test_kenan_ssa_variant(rng):
     assert np.isfinite(np.asarray(adver)).all()
 
 
+def test_kenan_ssa_batched_matches_per_sample(rng):
+    """A (B, L) ssa call is bit-identical to B separate (1, L) calls for a
+    deterministic model: the SVD is vmapped per lane and the binary-search
+    state is per-lane host float64 (VERDICT r3 #6 — the reference loops
+    batch=1, _kenan.py:181-291)."""
+    m = ToyModel()
+    x = jnp.asarray(rng.uniform(-0.4, 0.4, (3, 2000)).astype(np.float32))
+    y, _ = m.make_decision(x)
+    adv_b, succ_b = Kenan(m, atk_name="ssa", max_iter=5).attack(
+        x, y, rng=jax.random.PRNGKey(3))
+    for i in range(3):
+        adv_1, succ_1 = Kenan(m, atk_name="ssa", max_iter=5).attack(
+            x[i:i + 1], y[i:i + 1], rng=jax.random.PRNGKey(3))
+        assert succ_1 == [succ_b[i]]
+        np.testing.assert_array_equal(np.asarray(adv_1[0]),
+                                      np.asarray(adv_b[i]))
+
+
+def test_kenan_ssa_early_stop_freezes_lanes(rng):
+    """early_stop=True freezes converged lanes without perturbing others:
+    result equals the early_stop=False run wherever the non-stopped search
+    would have landed on the same keep counts (smoke: shapes/finite/flags)."""
+    m = ToyModel()
+    x = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 2000)).astype(np.float32))
+    y, _ = m.make_decision(x)
+    adv, succ = Kenan(m, atk_name="ssa", max_iter=8, early_stop=True).attack(
+        x, y, rng=jax.random.PRNGKey(1))
+    assert adv.shape == x.shape and len(succ) == 2
+    assert np.isfinite(np.asarray(adv)).all()
+
+
 def test_eot_reduces_gradient_variance(rng):
     """With a stochastic defense (AT noise), EOT-averaged grads over more
     repeats have lower variance — the point of the wrapper."""

@@ -47,6 +47,40 @@ def build_world(base):
             f.write(f"'spk{i}' {i}\n")
 
 
+def torch_fgsm_success(base, data, epsilon):
+    """Independent torch FGSM on the exact config-1 inputs: same ckpt,
+    same Dataset iteration (labels/crop/normalize), same epsilon/loss —
+    the tests/test_parity_torch.py harness applied to the drive world.
+    Returns the torch success rate in percent."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+    from test_networks import TorchAudioNet
+    from test_parity_torch import _torch_logmel
+    from speakerguard_tpu.models.audionet import parse_label_encoder
+    from speakerguard_tpu.data.dataset import Dataset
+
+    spk_ids = parse_label_encoder(os.path.join(base, "label_enc.txt"))
+    net = TorchAudioNet(num_class=len(spk_ids)).eval()
+    net.load_state_dict(torch.load(os.path.join(base, "audionet.ckpt")))
+    dataset = Dataset(spk_ids, data, "Spk10_test", normalize=True,
+                      return_file_name=True, wav_length=8000)
+    n_succ, n_tot = 0, 0
+    for origin, true, names in dataset.batches(2):
+        for w, lab in zip(np.asarray(origin, np.float32), true):
+            xb = torch.tensor(w.reshape(-1)).requires_grad_()
+            yb = torch.tensor([int(lab)], dtype=torch.long)
+            loss = F.cross_entropy(net(_torch_logmel(xb)[None]), yb)
+            loss.backward()
+            adv = torch.clamp(xb.detach() + epsilon * torch.sign(xb.grad),
+                              -1.0, 1.0)
+            with torch.no_grad():
+                dec = int(net(_torch_logmel(adv)[None]).argmax())
+            n_succ += int(dec != int(lab))
+            n_tot += 1
+    return 100.0 * n_succ / n_tot
+
+
 def run(argv, log):
     t0 = time.time()
     with open(log, "w") as f:
@@ -98,6 +132,16 @@ def main():
         f"{base}/c1.log")
     results["1_fgsm_audionet"] = {"rc": rc, "success": success_rate(out),
                                   "secs": round(dt, 1)}
+    # same-weights torch cross-check (VERDICT r3 #7): run the identical
+    # FGSM configuration on the SAME wavs/labels/ckpt through an
+    # independent torch stack (tests/test_parity_torch.py harness) and
+    # require the same success rate — anchors the drive's FGSM number
+    # the way configs 2-5 are anchored by threshold/ASR agreement
+    t_succ = torch_fgsm_success(base, data, epsilon=0.01)
+    ours = results["1_fgsm_audionet"]["success"]
+    results["1_fgsm_audionet"]["torch_success"] = round(t_succ, 6)
+    results["1_fgsm_audionet"]["torch_success_match"] = (
+        ours is not None and abs(t_succ - ours) < 1e-3)
     print("RESULT 1 FGSM/AudioNet:", results["1_fgsm_audionet"])
 
     # 2. PGD-100 xv-PLDA is bench.py's domain (random full-size weights);
