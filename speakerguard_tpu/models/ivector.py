@@ -133,7 +133,12 @@ def _chol_factor(l_mat):
         # panel-rows knob: nb=16 measured +0.6 utts/s e2e over nb=8 at
         # bench shapes (same 6.5e-7 factor accuracy); nb=32 also correct
         nb = int(os.environ.get("SG_CHOL_NB", "16"))
-        return cholesky_rt(l_mat, nb=nb, interpret=interpret), False
+        # SG_CHOL_BF16=1: single-pass bf16 trailing updates (r4 experiment,
+        # VERDICT r3 #2) — factor rel err ~1e-3, gradients feed sign()
+        # steps; NOT for exact scoring runs
+        bf16 = os.environ.get("SG_CHOL_BF16", "0") == "1"
+        return cholesky_rt(l_mat, nb=nb, interpret=interpret,
+                           bf16_updates=bf16), False
     return jnp.linalg.cholesky(l_mat), True
 
 

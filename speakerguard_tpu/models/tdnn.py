@@ -78,13 +78,80 @@ def _bn(x, stats: BNStats, eps=1e-5):
     return (x - stats.mean) * jax.lax.rsqrt(stats.var + eps)
 
 
+import functools
+import os
+
+
+def tdnn_fast_bwd_active() -> bool:
+    """SG_TDNN_FAST=1 routes the attack-gradient TDNN through the
+    bf16-residual fused blocks below (r4 experiment, VERDICT r3 #3 lead).
+    Opt-in until chip-measured; the forward is IDENTICAL either way."""
+    return os.environ.get("SG_TDNN_FAST", "0") == "1"
+
+
+@functools.lru_cache(maxsize=None)
+def _block_fast(dilation: int):
+    """conv -> relu -> bn as ONE custom-VJP block for attack-gradient
+    graphs (fast=True): the forward is the exact default-precision chain,
+    but the residual is just the relu MASK (bool, 1 byte/elem) + weights +
+    bn var — autodiff instead saves the f32 conv output AND bn input
+    (8 bytes/elem of (B, T', 512) HBM per layer).  The backward computes
+    the input cotangent as one padded transpose-convolution with
+    bf16-rounded operands and f32 accumulation (gradients feed sign()
+    steps; mirrors gmm.BWD_PRECISION's approach, which measured +13% on
+    iv).  Parameter cotangents are zero — attacks differentiate wrt the
+    waveform only (same contract as gmm._loglike_fast)."""
+
+    @jax.custom_vjp
+    def block(x, w, b, mean, var):
+        y = _conv1d(x, w, b, dilation)
+        return (jax.nn.relu(y) - mean) * jax.lax.rsqrt(var + 1e-5)
+
+    def fwd(x, w, b, mean, var):
+        y = _conv1d(x, w, b, dilation)
+        mask = y > 0
+        out = (jnp.where(mask, y, 0.0) - mean) * jax.lax.rsqrt(var + 1e-5)
+        return out, (mask, w, var)
+
+    def bwd(res, g):
+        from speakerguard_tpu.models.gmm import fast_dot_dtype
+        mask, w, var = res
+        s = jax.lax.rsqrt(var + 1e-5)
+        gy = jnp.where(mask, g * s, 0.0)
+        k = w.shape[0]
+        pad = (k - 1) * dilation
+        wk = w[::-1].transpose(0, 2, 1)            # (k, out, in)
+        dt = fast_dot_dtype()
+        gx = jax.lax.conv_general_dilated(
+            gy.astype(dt), wk.astype(dt), window_strides=(1,),
+            padding=[(pad, pad)], rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+        return (gx, jnp.zeros_like(w), jnp.zeros(w.shape[2], gx.dtype),
+                jnp.zeros_like(var), jnp.zeros_like(var))
+
+    block.defvjp(fwd, bwd)
+    return block
+
+
 def tdnn_embedding(params: TDNNParams, feats: jnp.ndarray,
                    train: bool = False, rng: jax.Array | None = None,
-                   noise_eps: float = 1e-5) -> jnp.ndarray:
+                   noise_eps: float = 1e-5, fast: bool = False
+                   ) -> jnp.ndarray:
     """feats: (B, T, F=30) -> (B, 512) x-vector (pre-nonlinearity fc1 output,
-    matching reference xvecTDNN.embedding)."""
+    matching reference xvecTDNN.embedding).  fast=True (attack-gradient
+    graphs only, gated by SG_TDNN_FAST): identical forward, bf16-residual
+    fused backward (_block_fast)."""
     x = feats
+    use_fast = fast and not train and tdnn_fast_bwd_active()
     for i, (k, dil, _) in enumerate(TDNN_SPEC):
+        if use_fast:
+            sg = jax.lax.stop_gradient
+            bn = params.bn_tdnn[i]
+            x = _block_fast(dil)(x, sg(params.conv_w[i]),
+                                 sg(params.conv_b[i]), sg(bn.mean),
+                                 sg(bn.var))
+            continue
         x = _conv1d(x, params.conv_w[i], params.conv_b[i], dil)
         x = jax.nn.relu(x)
         x = _bn(x, params.bn_tdnn[i])

@@ -108,8 +108,9 @@ class XvPlda(SRSModel):
         raise ValueError(ori_flag)
 
     def _embedding_from_top(self, feats, p=None, fast=False):
+        from speakerguard_tpu.models.base import fast_active
         p = p if p is not None else self.params
-        emb = tdnn_embedding(p.tdnn, feats)
+        emb = tdnn_embedding(p.tdnn, feats, fast=fast and fast_active())
         return process_emb(p, emb)
 
     def _scores_from_emb(self, emb, enroll_embs=None, p=None):

@@ -49,7 +49,7 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _make_kernel(b_tile, n_pad, nb, ob):
+def _make_kernel(b_tile, n_pad, nb, ob, upd_dtype=jnp.float32):
     n_outer = n_pad // ob
 
     def kernel(a_ref, m_ref):
@@ -62,10 +62,19 @@ def _make_kernel(b_tile, n_pad, nb, ob):
         hi = jax.lax.Precision.HIGHEST
 
         def bdot(x, y):
-            # (b, m, k) x (b, k, n) -> (b, m, n), batched matmul on the MXU
+            # (b, m, k) x (b, k, n) -> (b, m, n), batched matmul on the MXU.
+            # upd_dtype=bfloat16 (SG_CHOL_BF16=1, attack-gradient paths
+            # only) runs the O(N^3) trailing updates single-pass instead of
+            # the ~6 bf16 passes a HIGHEST f32 dot costs — the sequential
+            # panel sweeps stay f32 on the VPU, so the factor's diagonal
+            # pivots keep f32 conditioning (measured factor rel err ~1e-3
+            # vs 6.5e-7; fine for sign()-consumed gradients, NOT for the
+            # exact scoring path).
             return jax.lax.dot_general(
-                x, y, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=hi)
+                x.astype(upd_dtype), y.astype(upd_dtype),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=None if upd_dtype == jnp.bfloat16 else hi)
 
         for o in range(n_outer):             # static
             os_ = o * ob
@@ -315,15 +324,19 @@ def chol_solve(a: jnp.ndarray, v: jnp.ndarray, nb: int = 8, ob: int = 128,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nb", "ob", "b_tile", "interpret"))
+                   static_argnames=("nb", "ob", "b_tile", "interpret",
+                                    "bf16_updates"))
 def cholesky_rt(a: jnp.ndarray, nb: int = 8, ob: int = 128,
-                b_tile: int = 16, interpret: bool = False) -> jnp.ndarray:
+                b_tile: int = 16, interpret: bool = False,
+                bf16_updates: bool = False) -> jnp.ndarray:
     """Batched Cholesky, returning the UPPER factor R with R^T R = a.
 
     a: (B, N, N) SPD (symmetric, only the upper triangle + diagonal are
     read).  R equals jnp.linalg.cholesky(a).mT exactly (up to f32 rounding).
     nb: inner panel rows (sequential factor unit); ob: outer block
-    (rank-ob MXU trailing updates).
+    (rank-ob MXU trailing updates).  bf16_updates: single-pass bf16
+    trailing updates (attack-gradient experiment, SG_CHOL_BF16=1 — see
+    _make_kernel.bdot).
     """
     b, n, n2 = a.shape
     assert n == n2 and ob % nb == 0
@@ -339,7 +352,8 @@ def cholesky_rt(a: jnp.ndarray, nb: int = 8, ob: int = 128,
                                (b_pad - b, n_pad, n_pad))
         a = jnp.concatenate([a, eye], axis=0)
 
-    kernel = _make_kernel(b_tile, n_pad, nb, ob)
+    kernel = _make_kernel(b_tile, n_pad, nb, ob,
+                          jnp.bfloat16 if bf16_updates else jnp.float32)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, n_pad), jnp.float32),

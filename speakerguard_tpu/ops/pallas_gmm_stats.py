@@ -14,18 +14,21 @@ augmentation in VMEM scratch, runs one MXU matmul against the VMEM-
 resident bf16 projection (7.9 MB), does the softmax on the panel, and
 accumulates zeroth/first into revisited output blocks.
 
-MEASURED OUTCOME (v5e, B=128, T=298, why this is OPT-IN not default):
-op-level the kernel beats the jnp fast path slightly (46.2 vs 50.4 ms
-eager fwd+grad probes), but inside the full PGD iteration scan it is
-consistently ~5 ms/iter SLOWER (28.2 vs 33.1 utts/s end-to-end) — the
-backward's full loglike-matmul recompute costs more than the (B, T, C)
-HBM round-trips it avoids once XLA fuses the jnp softmax/stats into the
-surrounding graph.  Kept as a tested experiment (SG_GMM_STATS_PALLAS=1),
-same status as ops/pallas_gmm.py.
+r3 MEASURED OUTCOME (v5e, B=128, T=298): op-level the kernel beat the jnp
+fast path slightly (46.2 vs 50.4 ms eager fwd+grad probes), but inside the
+full PGD iteration scan it was consistently ~5 ms/iter SLOWER (28.2 vs
+33.1 utts/s end-to-end) — its backward recomputed the full aug+loglike
+matmul (~422 GFLOP at bench shapes), costing more than the (B, T, C) HBM
+round-trips it avoided.
 
-The backward recomputes the panel (cheaper than round-tripping it through
-HBM) and applies the softmax VJP + the scatter-free augmentation chain
-rule in VMEM, emitting only the (B, T, D) feature cotangent.
+r4 REDESIGN (VERDICT r3 #2): the forward now EMITS the posteriors as a
+bf16 (B, T, C) residual (~156 MB at bench shapes — one write + one read
+~= 0.4 ms of HBM traffic) and the backward consumes it directly: no aug
+rebuild, no loglike matmul, just the softmax VJP + the two cotangent
+matmuls + the scatter-free augmentation chain rule in VMEM.  The bf16
+posts residual is the SAME approximation the production jnp fast path
+makes (gmm._softmax_stats_fast saves posts16).  Still opt-in
+(SG_GMM_STATS_PALLAS=1) until the e2e verdict on chip flips.
 
 This is the FAST (attack-gradient) path only: operands are bf16-rounded
 with f32 accumulation, exactly like gmm._loglike_fast — callers gate it
@@ -88,7 +91,7 @@ def _chain_dx(dq, x, d):
 def _fwd_kernel(t_tile, c, d, f_aug, f_pad, t_total, dtype):
 
     def kernel(x_ref, proj_ref, gconsts_ref, zeroth_ref, first_ref,
-               aug_scratch):
+               posts_ref, aug_scratch):
         # x_ref:      (1, t_tile, d_pad)   feats tile
         # proj_ref:   (f_pad, c)           bf16 projection (VMEM-resident)
         # gconsts_ref:(1, c)
@@ -97,6 +100,7 @@ def _fwd_kernel(t_tile, c, d, f_aug, f_pad, t_total, dtype):
         #             block trailing dims be (8,128)-divisible or equal to
         #             the array dims — a (1, c) block over (B, c) is neither)
         # first_ref:  (1, c, d_pad)
+        # posts_ref:  (1, t_tile, c)       bf16 residual for the backward
         jt = pl.program_id(1)
         x = x_ref[0]
         aug_scratch[:, :] = _build_aug(x, d, f_aug, f_pad, dtype)
@@ -110,9 +114,11 @@ def _fwd_kernel(t_tile, c, d, f_aug, f_pad, t_total, dtype):
         # softmax of gconsts alone is NOT zero)
         row = jax.lax.broadcasted_iota(jnp.int32, (t_tile, 1), 0)
         posts = jnp.where(row + jt * t_tile < t_total, posts, 0.0)
+        posts16 = posts.astype(dtype)
+        posts_ref[0] = posts16
         z = jnp.sum(posts, axis=0, keepdims=True)                 # (1, c)
         f = jax.lax.dot_general(                                  # (c, d_pad)
-            posts.astype(dtype), x.astype(dtype),
+            posts16, x.astype(dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -131,19 +137,15 @@ def _fwd_kernel(t_tile, c, d, f_aug, f_pad, t_total, dtype):
 
 def _bwd_kernel(t_tile, c, d, f_aug, f_pad, t_total, dtype):
 
-    def kernel(x_ref, proj_ref, gconsts_ref, dz_ref, df_ref, dx_ref,
-               aug_scratch):
+    def kernel(x_ref, proj_ref, posts_ref, dz_ref, df_ref, dx_ref):
+        # posts_ref: (1, t_tile, c) bf16 — the forward's saved residual
+        #            (already zeroed past the true T), so the backward
+        #            needs NO aug rebuild and NO loglike matmul (r4)
         # dz_ref: (1, 1, c) f32; df_ref: (1, c, d_pad) f32
         # dx_ref: (1, t_tile, d_pad) f32
-        jt = pl.program_id(1)
         x = x_ref[0]
-        aug_scratch[:, :] = _build_aug(x, d, f_aug, f_pad, dtype)
-        loglike = jnp.dot(aug_scratch[:, :], proj_ref[:, :],
-                          preferred_element_type=jnp.float32)
-        loglike = loglike + gconsts_ref[0, :]
-        m = jnp.max(loglike, axis=1, keepdims=True)
-        e = jnp.exp(loglike - m)
-        posts = e / jnp.sum(e, axis=1, keepdims=True)             # (t, c)
+        posts16 = posts_ref[0]                                    # (t, c)
+        posts = posts16.astype(jnp.float32)
 
         df = df_ref[0]                                            # (c, d_pad)
         # dposts[t,c] = dz[c] + sum_d df[c,d] x[t,d]
@@ -151,13 +153,10 @@ def _bwd_kernel(t_tile, c, d, f_aug, f_pad, t_total, dtype):
             x.astype(dtype), df.astype(dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        # softmax VJP: dl = posts * (dp - sum_c posts*dp)
+        # softmax VJP: dl = posts * (dp - sum_c posts*dp); padded rows have
+        # posts == 0, so dl is zero there without extra masking
         s = jnp.sum(posts * dp, axis=1, keepdims=True)
         dl = posts * (dp - s)
-        row = jax.lax.broadcasted_iota(jnp.int32, (t_tile, 1), 0)
-        valid = row + jt * t_tile < t_total
-        dl = jnp.where(valid, dl, 0.0)
-        posts_m = jnp.where(valid, posts, 0.0)
 
         # daug[t,f] = sum_c dl[t,c] proj[f,c]
         daug = jax.lax.dot_general(
@@ -167,7 +166,7 @@ def _bwd_kernel(t_tile, c, d, f_aug, f_pad, t_total, dtype):
         dx = _chain_dx(daug[:, d:d + (f_aug - d)], x, d)
         dx = dx + daug[:, :d]
         # direct first-stats term: dx[t,d] += sum_c posts[t,c] df[c,d]
-        direct = jnp.dot(posts_m.astype(dtype), df.astype(dtype),
+        direct = jnp.dot(posts16, df.astype(dtype),
                          preferred_element_type=jnp.float32)      # (t, d_pad)
         dx = dx + direct[:, :d]
         dx_ref[0] = jnp.pad(dx, ((0, 0), (0, dx_ref.shape[2] - d)))
@@ -192,10 +191,11 @@ def _stats_fwd(feats, quad_proj_bf16, gconsts, t_tile=128, interpret=False):
 
     n_t = t_pad // t_tile
     kernel = _fwd_kernel(t_tile, c, d, f_aug, f_pad, t, dtype)
-    zeroth, first = pl.pallas_call(
+    zeroth, first, posts16 = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
-                   jax.ShapeDtypeStruct((b, c, d_pad), jnp.float32)),
+                   jax.ShapeDtypeStruct((b, c, d_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, t_pad, c), dtype)),
         grid=(b, n_t),
         in_specs=[
             pl.BlockSpec((1, t_tile, d_pad), lambda i, j: (i, j, 0),
@@ -210,18 +210,20 @@ def _stats_fwd(feats, quad_proj_bf16, gconsts, t_tile=128, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, d_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((t_tile, f_pad), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(feats_p, proj_p, gconsts_p)
-    return zeroth[:, 0, :], first[:, :, :d]
+    return zeroth[:, 0, :], first[:, :, :d], posts16
 
 
 @functools.partial(jax.jit,
                    static_argnames=("t_tile", "interpret"))
-def _stats_bwd(feats, quad_proj_bf16, gconsts, dzeroth, dfirst,
+def _stats_bwd(feats, quad_proj_bf16, posts16, dzeroth, dfirst,
                t_tile=128, interpret=False):
     b, t, d = feats.shape
     f_aug, c = quad_proj_bf16.shape
@@ -232,7 +234,6 @@ def _stats_bwd(feats, quad_proj_bf16, gconsts, dzeroth, dfirst,
     f_pad = _round_up(f_aug, 128)
     feats_p = jnp.pad(feats, ((0, 0), (0, t_pad - t), (0, d_pad - d)))
     proj_p = jnp.pad(quad_proj_bf16, ((0, f_pad - f_aug), (0, 0)))
-    gconsts_p = gconsts[None, :].astype(jnp.float32)
     dfirst_p = jnp.pad(dfirst, ((0, 0), (0, 0), (0, d_pad - d)))
 
     n_t = t_pad // t_tile
@@ -246,7 +247,7 @@ def _stats_bwd(feats, quad_proj_bf16, gconsts, dzeroth, dfirst,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f_pad, c), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, j: (0, 0),
+            pl.BlockSpec((1, t_tile, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -255,11 +256,10 @@ def _stats_bwd(feats, quad_proj_bf16, gconsts, dzeroth, dfirst,
         ],
         out_specs=pl.BlockSpec((1, t_tile, d_pad), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t_tile, f_pad), dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(feats_p, proj_p, gconsts_p, dzeroth[:, None, :], dfirst_p)
+    )(feats_p, proj_p, posts16, dzeroth[:, None, :], dfirst_p)
     return dx[:, :t, :d]
 
 
@@ -269,18 +269,22 @@ def fused_stats(quad_proj_bf16, gconsts, feats, interpret=False):
 
     Differentiable wrt feats only (GMM parameters are never attack
     variables; pass them through stop_gradient at the call site)."""
-    return _stats_fwd(feats, quad_proj_bf16, gconsts, interpret=interpret)
+    zeroth, first, _ = _stats_fwd(feats, quad_proj_bf16, gconsts,
+                                  interpret=interpret)
+    return zeroth, first
 
 
 def _fused_stats_fwd(quad_proj_bf16, gconsts, feats, interpret):
-    out = _stats_fwd(feats, quad_proj_bf16, gconsts, interpret=interpret)
-    return out, (quad_proj_bf16, gconsts, feats)
+    zeroth, first, posts16 = _stats_fwd(feats, quad_proj_bf16, gconsts,
+                                        interpret=interpret)
+    # residual: bf16 posteriors (the r4 redesign — no recompute in bwd)
+    return (zeroth, first), (quad_proj_bf16, gconsts, feats, posts16)
 
 
 def _fused_stats_bwd(interpret, res, cots):
-    quad_proj_bf16, gconsts, feats = res
+    quad_proj_bf16, gconsts, feats, posts16 = res
     dzeroth, dfirst = cots
-    dx = _stats_bwd(feats, quad_proj_bf16, gconsts, dzeroth, dfirst,
+    dx = _stats_bwd(feats, quad_proj_bf16, posts16, dzeroth, dfirst,
                     interpret=interpret)
     return (jnp.zeros_like(quad_proj_bf16), jnp.zeros_like(gconsts), dx)
 

@@ -99,9 +99,10 @@ def test_fused_stats_matches_exact(rng):
 
 
 def test_fused_stats_grad_tracks_exact(rng):
-    """Backward: feature cotangent from the in-kernel recompute+VJP agrees
-    with the exact-path autodiff gradient (sign agreement is what the
-    PGD-family sign() steps consume)."""
+    """Backward: feature cotangent from the saved-bf16-posts residual VJP
+    (r4 redesign — no recompute) agrees with the exact-path autodiff
+    gradient (sign agreement is what the PGD-family sign() steps
+    consume)."""
     import jax
     from speakerguard_tpu.ops.pallas_gmm_stats import fused_stats
     params = G.random_gmm(rng, 128, 10)
@@ -211,3 +212,32 @@ def test_chol_solve_matches_scipy(rng, b, n, bt):
     want = np.linalg.solve(spd.astype(np.float64),
                            v.astype(np.float64)[..., None])[..., 0]
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_cholesky_bf16_updates(rng, monkeypatch):
+    """SG_CHOL_BF16 (r4 experiment): bf16 trailing updates keep the factor
+    within ~1e-3 relative (sign()-consumed gradients) and the spd_solve
+    dispatch honors the env knob."""
+    from speakerguard_tpu.ops.pallas_chol import cholesky_rt
+    from speakerguard_tpu.models.ivector import spd_solve
+
+    a = rng.standard_normal((4, 150, 150)).astype(np.float32) * 0.1
+    spd = np.einsum("bij,bkj->bik", a, a) \
+        + 15.0 * np.eye(150, dtype=np.float32)
+    r16 = np.asarray(cholesky_rt(jnp.asarray(spd), nb=16, b_tile=4,
+                                 interpret=True, bf16_updates=True))
+    want = np.linalg.cholesky(spd.astype(np.float64)).transpose(0, 2, 1)
+    rel = np.abs(r16 - want).max() / np.abs(want).max()
+    assert rel < 5e-3, rel
+    # reconstruction sanity: R^T R ~= A
+    rec = np.einsum("bij,bik->bjk", r16, r16)
+    np.testing.assert_allclose(rec, spd, rtol=2e-2, atol=2e-2)
+
+    rhs = jnp.asarray(rng.standard_normal((4, 150)).astype(np.float32))
+    monkeypatch.setenv("SG_CHOL_PALLAS", "1")
+    monkeypatch.setenv("SG_CHOL_BF16", "0")
+    exact = np.asarray(spd_solve(jnp.asarray(spd), rhs))
+    monkeypatch.setenv("SG_CHOL_BF16", "1")
+    approx = np.asarray(spd_solve(jnp.asarray(spd), rhs))
+    rel = np.abs(approx - exact).max() / (np.abs(exact).max() + 1e-12)
+    assert 0 < rel < 5e-3, rel  # differs (knob active) but stays close
