@@ -75,7 +75,9 @@ def main():
         model = IvPlda(random_iv_plda_params(rng))
         enroll = jnp.asarray(
             rng.standard_normal((10, 200)).astype(np.float32))
-        default_batch = "128"  # r2: 17.3 utts/s (7.4/12.3 at batch 16/64)
+        # r3 sweep: 40.0@128 -> 42.1@256 -> 44.3@384 -> 45.6@768; default
+        # moved to the 512+ plateau (VERDICT r3 #2)
+        default_batch = "512"
     elif model_kind == "audionet":
         from speakerguard_tpu.models.audionet import AudioNet, init_audionet
         params, state = init_audionet(rng, num_class=10)
@@ -141,6 +143,16 @@ def main():
                       samples_per_draw=fb_samples,
                       samples_per_draw_batch_size=fb_samples,
                       max_lr=0.001, stop_early=False)
+    elif attack_kind == "kenan_ssa":
+        # decision-only signal-processing attack: per binary-search
+        # iteration = one batched SSA reconstruction + one forward.  The
+        # r4 batched redesign turns the reference's B x iters separate
+        # dispatches (each paying the ~30 ms tunnel floor) into iters
+        # batched steps; use a shorter wav (BENCH_WAV_LEN=8000) — the
+        # trajectory-matrix SVD is O(window^2 K) in the utterance length
+        from speakerguard_tpu.attacks import Kenan
+        max_iter = int(os.environ.get("BENCH_KENAN_ITERS", "15"))
+        atk = Kenan(model, atk_name="ssa", max_iter=max_iter)
     else:
         atk = PGD(model, task="CSI", epsilon=0.002, step_size=0.0004,
                   max_iter=max_iter, loss="Entropy", EOT_size=eot_size,
@@ -200,10 +212,11 @@ def main():
     if attack_kind == "cw2" and not cw2_measured \
             and baseline_kind == "measured":
         baseline_kind = "extrapolated-iteration-scaled"
-    if attack_kind == "fakebob" and baseline_kind == "measured":
-        # an NES iteration costs ~samples forward passes, not one
-        # forward+backward — the PGD baseline is only an order-of-magnitude
-        # anchor here
+    if attack_kind in ("fakebob", "kenan_ssa") and \
+            baseline_kind == "measured":
+        # these iterations are not PGD iterations (NES = ~samples forward
+        # passes; kenan = SVD + decision) — the PGD baseline is only an
+        # order-of-magnitude anchor here
         baseline_kind = "extrapolated-pgd-baseline"
     if defense_tag and baseline_kind == "measured":
         baseline_kind = "extrapolated-undefended-baseline"

@@ -23,4 +23,5 @@ run BENCH_MODEL=iv_plda SG_GMM_STATS_PALLAS=1           # fused stats w/ bf16-re
 run BENCH_MODEL=iv_plda SG_CHOL_BF16=1                  # bf16 Cholesky panels
 run BENCH_MODEL=iv_plda BENCH_BATCH=512                 # default-batch candidate
 run BENCH_MODEL=xv_plda SG_TDNN_FAST=1                  # bf16-residual TDNN backward
+run BENCH_MODEL=xv_plda BENCH_ATTACK=kenan_ssa BENCH_WAV_LEN=8000 BENCH_BATCH=16  # batched SSA point
 echo DONE >> "$log"
