@@ -28,10 +28,13 @@ class SirenAttack(Attack):
                  c1=1.4961, c2=1.4961, n_particles=25, w_init=0.9,
                  w_end=0.1, batch_size=None, EOT_size=1, EOT_batch_size=1,
                  verbose=0, abort_early=True, abort_early_iter=10,
-                 abort_early_epoch=10):
+                 abort_early_epoch=10, mesh=None):
         # batch_size: memory knob chunking the utterance axis (None = whole
         # input); the particle axis multiplies memory by n_particles
+        # mesh: optional Mesh with a 'data' axis — batch (and the particle
+        # axis folded into it) shards across chips, params replicate
         self.batch_size = batch_size
+        self.mesh = mesh
         self.model = model
         self.threshold = threshold
         self.task = task
@@ -171,6 +174,8 @@ class SirenAttack(Attack):
         return restore(adver_x), success
 
     def _attack_whole(self, x, y, rng):
+        x, y = self.shard_inputs(x, y)
+        params = self.replicate_params(self.model.jit_params())
         b, length = x.shape
         p = self.n_particles
         # distortion bounds (SirenAttack.py:251-252)
@@ -208,7 +213,7 @@ class SirenAttack(Attack):
                     axis=1)
 
             (pbest_locations, pbests, gbest_loc, gbests, gbest_pred,
-             active) = self._epoch_fn(self.model.jit_params(), x, y, lower, upper,
+             active) = self._epoch_fn(params, x, y, lower, upper,
                                       pbest_locations, pbests, gbest_loc,
                                       gbests, gbest_pred, active, ekey2)
 

@@ -260,6 +260,26 @@ def test_cw2_mesh_sharded_matches_single(rng):
                                atol=2e-6)
 
 
+def test_siren_mesh_sharded_matches_single(rng):
+    """SirenAttack with mesh= shards the batch over 'data' and reproduces
+    the single-device attack (PSO math is per-sample)."""
+    from test_attacks import ToyModel
+    from speakerguard_tpu.attacks import SirenAttack
+
+    m = ToyModel()
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 4000)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 4, 8))
+    key = jax.random.PRNGKey(17)
+    kw = dict(task="CSI", epsilon=0.002, max_epoch=2, max_iter=4,
+              n_particles=5, abort_early=False)
+    adv1, s1 = SirenAttack(m, **kw).attack(x, y, rng=key)
+    mesh = make_mesh(8, axes=("data",))
+    adv2, s2 = SirenAttack(m, mesh=mesh, **kw).attack(x, y, rng=key)
+    assert s1 == s2
+    np.testing.assert_allclose(np.asarray(adv1), np.asarray(adv2),
+                               atol=2e-6)
+
+
 def test_pgd_mesh_sharded_matches_single(rng):
     """The mesh option on PGD shards the batch over 'data' with identical
     results to the unsharded run (same keys, deterministic model)."""
