@@ -156,3 +156,33 @@ def test_tdnn_fast_backward_blocks(rng, monkeypatch):
     assert cos > 0.999, cos
     nz = np.abs(g_exact) > np.abs(g_exact).max() * 1e-3
     assert np.mean(np.sign(g_exact[nz]) == np.sign(g_fast[nz])) > 0.99
+
+
+def test_pgd_success_invariant_to_tdnn_fast(rng, monkeypatch):
+    """The SG_TDNN_FAST backward must not change PGD outcomes at CPU
+    (f32-compute) drift levels: identical per-sample success vectors and
+    epsilon-ball outputs on the xv chain with SG_FAST=1."""
+    import jax
+    from speakerguard_tpu.models.xv_plda import XvPlda, random_xv_plda_params
+    from speakerguard_tpu.attacks import PGD
+
+    monkeypatch.setenv("SG_FAST", "1")
+    model = XvPlda(random_xv_plda_params(np.random.default_rng(8)))
+    enroll = jnp.asarray(
+        np.random.default_rng(9).standard_normal((4, 150)).astype(np.float32))
+    model.set_enrollment([str(i) for i in range(4)], enroll)
+    x = jnp.asarray(np.random.default_rng(10).uniform(
+        -0.3, 0.3, (4, 16000)).astype(np.float32))
+    y, _ = model.make_decision(x)
+    key = jax.random.PRNGKey(2)
+
+    monkeypatch.setenv("SG_TDNN_FAST", "0")
+    adv0, s0 = PGD(model, task="CSI", epsilon=0.002, step_size=0.0005,
+                   max_iter=4).attack(x, y, rng=key)
+    monkeypatch.setenv("SG_TDNN_FAST", "1")
+    adv1, s1 = PGD(model, task="CSI", epsilon=0.002, step_size=0.0005,
+                   max_iter=4).attack(x, y, rng=key)
+    assert s0 == s1
+    # both stay in the common epsilon ball around x
+    for adv in (adv0, adv1):
+        assert float(jnp.max(jnp.abs(adv - x))) <= 0.002 + 1e-6
