@@ -123,9 +123,10 @@ def main(args):
     key = jax.random.PRNGKey(args.seed)
     for i_epoch in range(args.num_epoches):
         accs_adv, accs_nor = [], []
-        for batch_id, (wavs, labels) in enumerate(
+        from speakerguard_tpu.parallel.input import prefetch
+        for batch_id, (wavs, labels) in enumerate(prefetch(
                 train.batches(args.batch_size, shuffle=True,
-                              drop_last=args.n_devices > 1)):
+                              drop_last=args.n_devices > 1))):
             t0 = time.time()
             wavs = jnp.asarray(wavs[:, 0, :])
             if float(jnp.abs(wavs).max()) > 2:

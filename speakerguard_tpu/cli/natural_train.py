@@ -103,9 +103,10 @@ def main(args):
     key = jax.random.PRNGKey(args.seed)
     for i_epoch in range(args.num_epoches):
         accs = []
-        for batch_id, (wavs, labels) in enumerate(
+        from speakerguard_tpu.parallel.input import prefetch
+        for batch_id, (wavs, labels) in enumerate(prefetch(
                 train.batches(args.batch_size, shuffle=True,
-                              drop_last=args.n_devices > 1)):
+                              drop_last=args.n_devices > 1))):
             t0 = time.time()
             wavs = jnp.asarray(wavs[:, 0, :]) / (2.0 ** 15) \
                 if np.abs(wavs).max() > 2 else jnp.asarray(wavs[:, 0, :])

@@ -16,6 +16,38 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def prefetch(iterator, size: int = 2):
+    """Overlap host-side batch loading (+ the async device_put inside
+    make_global_batch) with device compute: a daemon thread keeps up to
+    `size` batches queued ahead of the consumer.  Standard input-pipeline
+    double buffering — while the train step runs on device, the next
+    batch's wav loading and H2D transfer are already in flight.  Producer
+    exceptions re-raise at the consumer's next pull."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=size)
+    _end = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put((None, item))
+        except BaseException as exc:  # noqa: BLE001 - reraised at consumer
+            q.put((exc, None))
+            return
+        q.put((_end, None))
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        exc, item = q.get()
+        if exc is _end:
+            return
+        if exc is not None:
+            raise exc
+        yield item
+
+
 def make_global_batch(local, mesh: Mesh, axis: str = "data"):
     """Assemble a process-local numpy batch (leading axis = this host's
     slice of the global batch) into a global jax.Array sharded over `axis`.

@@ -336,3 +336,33 @@ def test_pgd_mesh_sharded_iv_plda_matches_single(rng):
     frac_diff = np.mean(np.abs(a1 - a2) > 1e-6)
     assert frac_diff < 1e-3, frac_diff
     assert np.max(np.abs(a1 - a2)) <= 2 * 0.004 + 1e-6
+
+
+def test_prefetch_preserves_sequence_and_errors(rng, tmp_path):
+    """prefetch() yields the identical batch sequence (double-buffering is
+    transparent) and re-raises producer exceptions at the consumer."""
+    from fixtures import make_wav_dataset
+    from speakerguard_tpu.data.dataset import Dataset
+    from speakerguard_tpu.parallel.input import (host_sharded_batches,
+                                                 prefetch)
+
+    root, name, spks = make_wav_dataset(str(tmp_path), rng, n_spks=4,
+                                        utts_per_spk=4, length=6000)
+    mesh = make_mesh(8, axes=("data",))
+    ds = Dataset(spks, root, name, normalize=True, wav_length=4000, seed=3)
+    ref = Dataset(spks, root, name, normalize=True, wav_length=4000, seed=3)
+    got = list(prefetch(host_sharded_batches(ds, 8, mesh, use_native=False)))
+    want = list(host_sharded_batches(ref, 8, mesh, use_native=False))
+    assert len(got) == len(want) == 2
+    for (gw, gl), (ww, wl) in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(gw), np.asarray(ww))
+        np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom(), size=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
