@@ -134,6 +134,40 @@ def _block_fast(dilation: int):
     return block
 
 
+@jax.custom_vjp
+def _stats_pool_fast(x):
+    """mean ++ unbiased std over time with a bf16 residual (fast path):
+    autodiff keeps the (B, T', 1500) f32 activations (~205 MB at bench
+    shapes) for the std backward; this saves them bf16-rounded plus the
+    f32 (B, 1500) mean/std."""
+    mean = jnp.mean(x, axis=1)
+    var = jnp.var(x, axis=1, ddof=1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    return jnp.concatenate([mean, std], axis=-1)
+
+
+def _spf_fwd(x):
+    mean = jnp.mean(x, axis=1)
+    var = jnp.var(x, axis=1, ddof=1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    return (jnp.concatenate([mean, std], axis=-1),
+            (x.astype(jnp.bfloat16), mean, std, x.shape[1]))
+
+
+def _spf_bwd(res, g):
+    x16, mean, std, t = res
+    c = mean.shape[-1]
+    gm, gs = g[:, :c], g[:, c:]
+    # d mean / dx = 1/T ; d std / dx = (x - mean) / ((T-1) std)
+    centered = x16.astype(jnp.float32) - mean[:, None, :]
+    denom = jnp.maximum((t - 1) * std, 1e-12)
+    dx = gm[:, None, :] / t + gs[:, None, :] * centered / denom[:, None, :]
+    return (dx,)
+
+
+_stats_pool_fast.defvjp(_spf_fwd, _spf_bwd)
+
+
 def tdnn_embedding(params: TDNNParams, feats: jnp.ndarray,
                    train: bool = False, rng: jax.Array | None = None,
                    noise_eps: float = 1e-5, fast: bool = False
@@ -157,10 +191,13 @@ def tdnn_embedding(params: TDNNParams, feats: jnp.ndarray,
         x = _bn(x, params.bn_tdnn[i])
     if train and rng is not None:
         x = x + noise_eps * jax.random.normal(rng, x.shape, x.dtype)
-    mean = jnp.mean(x, axis=1)
-    var = jnp.var(x, axis=1, ddof=1)                      # torch unbiased std
-    std = jnp.sqrt(jnp.maximum(var, 0.0))
-    stats = jnp.concatenate([mean, std], axis=-1)         # (B, 3000)
+    if use_fast:
+        stats = _stats_pool_fast(x)                       # (B, 3000)
+    else:
+        mean = jnp.mean(x, axis=1)
+        var = jnp.var(x, axis=1, ddof=1)                  # torch unbiased std
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        stats = jnp.concatenate([mean, std], axis=-1)     # (B, 3000)
     return stats @ params.fc1_w + params.fc1_b
 
 
