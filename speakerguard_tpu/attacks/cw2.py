@@ -67,6 +67,13 @@ class CW2(Attack):
         if task in ("SV", "OSI"):
             self.threshold = model.threshold
 
+        # SG_CW2_FAST=1 (r4 experiment): the inner Adam loop scores through
+        # the model's bf16 fast attack-gradient path (like PGD); the
+        # returned best audio is then re-verified against the EXACT model
+        # in attack_batch, so reported success is always victim-verified.
+        # Read once at construction (the jitted inner is built here).
+        import os
+        self._fast = os.environ.get("SG_CW2_FAST", "0") == "1"
         self._opt = optax.adam(lr)
         self._inner = jax.jit(self._make_inner())
 
@@ -86,7 +93,8 @@ class CW2(Attack):
 
             def losses(modifier, key):
                 input_x = jnp.tanh(modifier + x_atanh)
-                scores = model.score(input_x, rng=key, params=params)
+                scores = model.score(input_x, rng=key, params=params,
+                                     fast=self._fast)
                 l1 = self._loss1(scores, y)
                 l2 = jnp.sum(jnp.square(input_x - x), axis=-1)
                 return jnp.sum(const * l1 + l2), (l1, l2, scores, input_x)
@@ -202,6 +210,14 @@ class CW2(Attack):
 
         global_l2, global_score, global_x = global_state
         success = (np.asarray(global_score) != -2).tolist()
+        if self._fast:
+            # fast in-loop scores are bf16 approximations: re-verify the
+            # returned audio against the EXACT model so reported success
+            # is victim-verified (the PGD design's exact-final-eval rule)
+            scores = self.model.score(global_x, params=params)
+            l1 = np.asarray(self._loss1(scores, y))
+            success = [bool(s) and bool(v <= 0)
+                       for s, v in zip(success, l1)]
         return global_x, success
 
     def attack(self, x, y, rng=None):

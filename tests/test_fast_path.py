@@ -186,3 +186,35 @@ def test_pgd_success_invariant_to_tdnn_fast(rng, monkeypatch):
     # both stay in the common epsilon ball around x
     for adv in (adv0, adv1):
         assert float(jnp.max(jnp.abs(adv - x))) <= 0.002 + 1e-6
+
+
+def test_cw2_fast_mode_verified_success(rng, monkeypatch):
+    """SG_CW2_FAST: the inner loop scores through the bf16 fast path; the
+    returned audio is exact-model re-verified, so every reported success
+    is real.  At CPU drift levels the outcome matches the exact run."""
+    import jax
+    from speakerguard_tpu.models.xv_plda import XvPlda, random_xv_plda_params
+    from speakerguard_tpu.attacks import CW2
+
+    monkeypatch.setenv("SG_FAST", "1")
+    model = XvPlda(random_xv_plda_params(np.random.default_rng(11)))
+    enroll = jnp.asarray(np.random.default_rng(12).standard_normal(
+        (4, 150)).astype(np.float32))
+    model.set_enrollment([str(i) for i in range(4)], enroll)
+    x = jnp.asarray(np.random.default_rng(13).uniform(
+        -0.3, 0.3, (3, 16000)).astype(np.float32))
+    y, _ = model.make_decision(x)
+    key = jax.random.PRNGKey(4)
+    kw = dict(task="CSI", max_iter=8, binary_search_steps=2,
+              stop_early=False, initial_const=10.0)
+
+    monkeypatch.setenv("SG_CW2_FAST", "0")
+    adv0, s0 = CW2(model, **kw).attack(x, y, rng=key)
+    monkeypatch.setenv("SG_CW2_FAST", "1")
+    adv1, s1 = CW2(model, **kw).attack(x, y, rng=key)
+    assert s0 == s1
+    # every reported success is verified against the exact model
+    dec, _ = model.make_decision(adv1)
+    for i, s in enumerate(s1):
+        if s:
+            assert int(dec[i]) != int(y[i])

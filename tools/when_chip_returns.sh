@@ -22,7 +22,9 @@ run BENCH_MODEL=xv_plda SG_DFT_FAST_PRECISION=default   # 3x->1x DFT passes
 run BENCH_MODEL=iv_plda SG_GMM_STATS_PALLAS=1           # fused stats w/ bf16-residual bwd
 run BENCH_MODEL=iv_plda SG_CHOL_BF16=1                  # bf16 Cholesky panels
 run BENCH_MODEL=iv_plda BENCH_BATCH=512                 # default-batch candidate
-run BENCH_MODEL=xv_plda SG_TDNN_FAST=1                  # bf16-residual TDNN backward
+run BENCH_MODEL=xv_plda SG_TDNN_FAST=1                  # bf16-residual TDNN backward + stats pool
+run BENCH_MODEL=iv_plda BENCH_ATTACK=cw2 SG_CW2_FAST=1  # CW2 through the fast path (exact-verified)
+run BENCH_MODEL=xv_plda BENCH_ATTACK=cw2 SG_CW2_FAST=1 SG_TDNN_FAST=1
 run BENCH_MODEL=xv_plda BENCH_ATTACK=kenan_ssa BENCH_WAV_LEN=8000 BENCH_BATCH=16  # batched SSA point
 
 # re-drive the five BASELINE configs on chip (DRIVE_r04 currently records
