@@ -2,6 +2,7 @@
 FGSM/PGD generation nested INSIDE the jitted train step against the live
 parameters, `ratio` of each minibatch replaced with adversarial examples."""
 
+import os
 import time
 
 import numpy as np
@@ -40,6 +41,10 @@ def parse_args(argv=None):
     parser.add_argument("-lr", type=float, default=1e-3)
     parser.add_argument("-n_devices", type=int, default=1)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-ckpt_backend", choices=("pickle", "orbax"),
+                        default="pickle",
+                        help="orbax = TPU-native async checkpointing "
+                             "(non-blocking saves, multi-host safe)")
     # attacker (reference adver_train.py: FGSM or PGD)
     parser.add_argument("-attacker", default="PGD",
                         choices=["FGSM", "PGD"])
@@ -81,12 +86,30 @@ def main(args):
     spk_ids = parse_label_encoder(args.label_encoder)
 
     if args.ori_model_ckpt:
-        params, state, opt_state0, _ = load_checkpoint(args.ori_model_ckpt)
+        if args.ckpt_backend == "orbax":
+            from speakerguard_tpu.models.training import load_checkpoint_orbax
+            p0, s0 = init_audionet(rng, num_class=len(spk_ids))
+            opt = optax.adam(args.lr)
+            params, state, opt_state0, _ = load_checkpoint_orbax(
+                args.ori_model_ckpt, p0, s0, opt.init(p0))
+        else:
+            params, state, opt_state0, _ = load_checkpoint(
+                args.ori_model_ckpt)
     else:
         params, state = init_audionet(rng, num_class=len(spk_ids))
         opt_state0 = None
     opt = optax.adam(args.lr)
     opt_state = opt_state0 if opt_state0 is not None else opt.init(params)
+
+    if args.ckpt_backend == "orbax":
+        from speakerguard_tpu.models.training import save_checkpoint_orbax \
+            as save_checkpoint  # noqa: F811 - backend switch (async saves)
+    else:
+        from speakerguard_tpu.models.training import save_checkpoint \
+            as _sc_pickle
+
+        def save_checkpoint(path, *a, wait=False, **kw):  # noqa: F811
+            _sc_pickle(path, *a, **kw)
 
     if args.attacker == "FGSM":
         attack = make_pgd_for_training(epsilon=args.epsilon,
@@ -145,11 +168,13 @@ def main(args):
                   f"acc_normal={float(acc_nor):.4f} "
                   f"time={time.time() - t0:.3f}s", end="\r")
         epoch = i_epoch + args.start_epoch
-        print(f"\nEPOCH {epoch}: Acc adv = {np.mean(accs_adv):.4f} "
-              f"Acc normal = {np.mean(accs_nor):.4f}")
+        # a ragged tail batch with int(b*ratio)==0 adversarial samples
+        # reports acc_adv=nan for that batch; skip it in the epoch mean
+        print(f"\nEPOCH {epoch}: Acc adv = {np.nanmean(accs_adv):.4f} "
+              f"Acc normal = {np.nanmean(accs_nor):.4f}")
         logger.info("EPOCH %d/%d: Acc adv = %.6f Acc normal = %.6f", epoch,
-                    args.num_epoches + args.start_epoch, np.mean(accs_adv),
-                    np.mean(accs_nor))
+                    args.num_epoches + args.start_epoch,
+                    np.nanmean(accs_adv), np.nanmean(accs_nor))
         save_checkpoint(f"{ckpt_base}_{epoch}", params, state, opt_state,
                         epoch)
         if args.evaluate_per_epoch > 0 and \
@@ -161,7 +186,7 @@ def main(args):
             print(msg)
             logger.info("%s", msg)
     save_checkpoint(ckpt_base, params, state, opt_state,
-                    args.num_epoches + args.start_epoch)
+                    args.num_epoches + args.start_epoch, wait=True)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,10 @@ def parse_args(argv=None):
     parser.add_argument("-lr", type=float, default=1e-3)
     parser.add_argument("-n_devices", type=int, default=1)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-ckpt_backend", choices=("pickle", "orbax"),
+                        default="pickle",
+                        help="orbax = TPU-native async checkpointing "
+                             "(non-blocking saves, multi-host safe)")
     return parser.parse_args(argv)
 
 
@@ -68,12 +72,30 @@ def main(args):
     spk_ids = parse_label_encoder(args.label_encoder)
 
     if args.ori_model_ckpt:
-        params, state, opt_state0, _ = load_checkpoint(args.ori_model_ckpt)
+        if args.ckpt_backend == "orbax":
+            from speakerguard_tpu.models.training import load_checkpoint_orbax
+            p0, s0 = init_audionet(rng, num_class=len(spk_ids))
+            opt = optax.adam(args.lr)
+            params, state, opt_state0, _ = load_checkpoint_orbax(
+                args.ori_model_ckpt, p0, s0, opt.init(p0))
+        else:
+            params, state, opt_state0, _ = load_checkpoint(
+                args.ori_model_ckpt)
     else:
         params, state = init_audionet(rng, num_class=len(spk_ids))
         opt_state0 = None
     opt = optax.adam(args.lr)
     opt_state = opt_state0 if opt_state0 is not None else opt.init(params)
+
+    if args.ckpt_backend == "orbax":
+        from speakerguard_tpu.models.training import save_checkpoint_orbax \
+            as save_checkpoint  # noqa: F811 - backend switch (async saves)
+    else:
+        from speakerguard_tpu.models.training import save_checkpoint \
+            as _sc_pickle
+
+        def save_checkpoint(path, *a, wait=False, **kw):  # noqa: F811
+            _sc_pickle(path, *a, **kw)
 
     step = make_natural_train_step(opt, aug_eps=args.aug_eps)
     mesh = None
@@ -133,7 +155,7 @@ def main(args):
             print("Val Acc: %f" % val_acc)
             logger.info("Val Acc: %.6f", val_acc)
     save_checkpoint(ckpt_base, params, state, opt_state,
-                    args.num_epoches + args.start_epoch)
+                    args.num_epoches + args.start_epoch, wait=True)
 
 
 if __name__ == "__main__":

@@ -167,3 +167,55 @@ def load_checkpoint(path):
     opt_state = (jax.tree.map(jnp.asarray, blob["opt_state"])
                  if blob["opt_state"] is not None else None)
     return params, state, opt_state, blob.get("epoch", 0)
+
+
+# ---- orbax backend: TPU-native ASYNC checkpointing --------------------
+# Device-to-host copies happen at save() time; serialization and disk IO
+# run on background threads, so the train loop never blocks on storage.
+# Multi-host safe (orbax coordinates the processes; each host writes its
+# own param shards).  Opt-in via natural_train/adver_train
+# `-ckpt_backend orbax`.
+
+_ORBAX_CKPTR = None
+
+
+def _orbax_checkpointer():
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ORBAX_CKPTR = ocp.StandardCheckpointer()  # async under the hood
+    return _ORBAX_CKPTR
+
+
+def save_checkpoint_orbax(dir_path, params: AudioNetParams,
+                          state: AudioNetState, opt_state=None,
+                          epoch: int = 0, wait: bool = False):
+    """Async save to `dir_path` (an orbax checkpoint DIRECTORY).  Returns
+    immediately unless wait=True (tests / final save)."""
+    ckptr = _orbax_checkpointer()
+    tree = {"params": params, "state": state,
+            "opt_state": opt_state if opt_state is not None else {},
+            "epoch": jnp.asarray(epoch)}
+    path = os.path.abspath(str(dir_path))
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr.save(path, tree)
+    if wait:
+        ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(dir_path, params_like: AudioNetParams,
+                          state_like: AudioNetState, opt_state_like=None):
+    """Restore from an orbax directory.  `*_like` supply the pytree
+    structure (fresh init values work)."""
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()
+    target = {"params": params_like, "state": state_like,
+              "opt_state": opt_state_like if opt_state_like is not None
+              else {},
+              "epoch": jnp.asarray(0)}
+    got = ckptr.restore(os.path.abspath(str(dir_path)), target)
+    opt_state = got["opt_state"] if opt_state_like is not None else None
+    return (got["params"], got["state"], opt_state,
+            int(got["epoch"]))

@@ -90,3 +90,30 @@ def test_eot_chunking_is_exact(rng):
     for a, b in zip(full, chunked):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip(rng, tmp_path):
+    """TPU-native async checkpoint backend: save (async) -> restore
+    reproduces params/state/opt_state/epoch exactly."""
+    import optax
+    from speakerguard_tpu.models.audionet import init_audionet
+    from speakerguard_tpu.models.training import (
+        save_checkpoint_orbax, load_checkpoint_orbax)
+
+    params, state = init_audionet(rng, num_class=4)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    path = tmp_path / "ckpt_orbax"
+    save_checkpoint_orbax(path, params, state, opt_state, epoch=7,
+                          wait=True)
+
+    p0, s0 = init_audionet(np.random.default_rng(99), num_class=4)
+    got_p, got_s, got_o, epoch = load_checkpoint_orbax(
+        path, p0, s0, opt.init(p0))
+    assert epoch == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(got_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(got_o)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(got_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
