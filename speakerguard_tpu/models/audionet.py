@@ -221,7 +221,12 @@ class AudioNet(SRSModel):
         self.net_params, self.state = value
 
     def _raw(self, wav, rng=None, p=None, fast=False):
-        return audionet_logmel(wav, self.logmel_config)
+        # attack-gradient graphs honor SG_DFT_FAST_PRECISION (like xv/iv);
+        # the exact final evaluation always runs the HIGH default
+        from speakerguard_tpu.models.base import fast_active, \
+            fast_dft_precision
+        prec = fast_dft_precision() if fast and fast_active() else None
+        return audionet_logmel(wav, self.logmel_config, precision=prec)
 
     def _feat_step(self, feats, ori_flag, p=None):
         raise ValueError("audionet has no feature ladder above flag 1")

@@ -90,9 +90,9 @@ def _stft_window(cfg: LogMelConfig) -> np.ndarray:
     return np.pad(w, (pad_l, pad_r)).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def audionet_logmel(wav: jnp.ndarray, cfg: LogMelConfig = AUDIONET_LOGMEL
-                    ) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def audionet_logmel(wav: jnp.ndarray, cfg: LogMelConfig = AUDIONET_LOGMEL,
+                    precision=None) -> jnp.ndarray:
     """wav: (B, L) float32 in *scale* domain ([-1, 1]).  Returns (B, T, n_mels)
     log-mel features (note: reference returns (B, F, T); callers here use the
     framework-wide (B, T, F) layout)."""
@@ -111,11 +111,16 @@ def audionet_logmel(wav: jnp.ndarray, cfg: LogMelConfig = AUDIONET_LOGMEL
     from speakerguard_tpu.ops.kaldi_mfcc import _rfft_power, _WINDOWS
     key = ("stft_hann", cfg.win_length, cfg.n_fft)
     _WINDOWS.setdefault(key, lambda cfg=cfg: _stft_window(cfg))
-    # HIGH (3-pass, ~1e-5 rel err): this frontend feeds a CNN classifier,
-    # not the Kaldi-parity chain — HIGHEST's 6 passes dominate AudioNet's
-    # whole attack iteration at n_fft=1024
+    # HIGH (3-pass, ~1e-5 rel err) by default: this frontend feeds a CNN
+    # classifier, not the Kaldi-parity chain — HIGHEST's 6 passes dominate
+    # AudioNet's whole attack iteration at n_fft=1024.  `precision`
+    # overrides for attack-gradient graphs (AudioNet._raw(fast=True) +
+    # SG_DFT_FAST_PRECISION=default -> single-pass bf16; the DFT is 81 of
+    # AudioNet's 87.7 fwd GFLOP/iter, see tools/flops.py)
     power = _rfft_power(cfg.n_fft, cfg.n_fft, window_key=key,
-                        precision=jax.lax.Precision.HIGH)(frames)
+                        precision=(jax.lax.Precision.HIGH
+                                   if precision is None else precision)
+                        )(frames)
 
     mel = jnp.matmul(power, jnp.asarray(slaney_mel_banks(cfg)).T,
                      precision=jax.lax.Precision.HIGHEST)  # (B, T, n_mels)

@@ -218,3 +218,25 @@ def test_cw2_fast_mode_verified_success(rng, monkeypatch):
     for i, s in enumerate(s1):
         if s:
             assert int(dec[i]) != int(y[i])
+
+
+def test_audionet_fast_dft_precision_knob(rng, monkeypatch):
+    """AudioNet attack graphs honor SG_DFT_FAST_PRECISION like xv/iv:
+    'default' changes only the fast path (exact path untouched), and the
+    fast scores stay close."""
+    from speakerguard_tpu.models.audionet import AudioNet, init_audionet
+
+    params, state = init_audionet(np.random.default_rng(20), num_class=6)
+    m = AudioNet(params, state)
+    wavs = jnp.asarray(np.random.default_rng(21).uniform(
+        -0.4, 0.4, (2, 8000)).astype(np.float32))
+
+    monkeypatch.setenv("SG_FAST", "1")
+    monkeypatch.setenv("SG_DFT_FAST_PRECISION", "high")
+    base_exact = np.asarray(m.score(wavs))
+    base_fast = np.asarray(m.score(wavs, fast=True))
+    monkeypatch.setenv("SG_DFT_FAST_PRECISION", "default")
+    exact = np.asarray(m.score(wavs))
+    fast = np.asarray(m.score(wavs, fast=True))
+    np.testing.assert_array_equal(exact, base_exact)  # exact path untouched
+    np.testing.assert_allclose(fast, base_fast, rtol=1e-3, atol=1e-3)

@@ -93,6 +93,24 @@ def gflops_table(batch=128, wav_len=48000):
     add("xv", "stats pool + fc1", fc, fc, "small")
     add("xv", "LDA + PLDA", 2 * B * 150 * 513 / 1e9,
         2 * B * 150 * 513 / 1e9, "small")
+
+    # ============================ AudioNet ================================
+    # logmel frontend: 1024-pt DFT matmuls at HIGH (see ops/logmel.py),
+    # hop 160 -> T ~= wav_len/160
+    T = wav_len // 160 + 1
+    nfft, nbin, nmel = 1024, 513, 32
+    dft = 2 * B * T * nfft * 2 * nbin / 1e9
+    add("audionet", f"logmel DFT(T={T},nfft={nfft})", dft, dft, "HIGH=3x")
+    from speakerguard_tpu.models.audionet import CONV_SPEC
+    t = T - 0  # conv1 2D 5x5 pad 2 preserves T
+    conv_f = 2 * B * T * nmel * 25 / 1e9  # 2D prefilter, 1 channel
+    for (cin, cout, k, pad, pool) in CONV_SPEC:
+        t_out = t + 2 * pad - (k - 1)
+        conv_f += 2 * B * t_out * k * cin * cout / 1e9
+        t = t_out // 2 if pool else t_out
+    add("audionet", "conv stack", conv_f, conv_f,
+        "DEFAULT bf16; NOT matmul-bound — frontend+elementwise dominate, "
+        "which is why no audionet fast path exists")
     return rows
 
 
