@@ -15,6 +15,7 @@ run BENCH_MODEL=xv_plda BENCH_ATTACK=cw2                # 27.7 confirm
 run BENCH_MODEL=xv_plda BENCH_ATTACK=fakebob            # black-box point
 run BENCH_MODEL=audionet                                # 196.2 confirm
 run BENCH_MODEL=xv_plda BENCH_DEFENSE=QT BENCH_EOT=4    # 141.1 confirm
+run BENCH_MODEL=iv_plda BENCH_DEFENSE=QT BENCH_EOT=4    # iv adaptive-attack point (new)
 
 # r4 experiments (implemented while the relay was down; ASR printed by
 # bench must stay at the recorded value for any keeper)
