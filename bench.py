@@ -60,11 +60,91 @@ def chip_health_probe(timeout_s=240, retries=1, backoff_s=30):
     sys.exit(1)
 
 
+def bench_train(train_kind):
+    """Training-throughput perf point (reference natural_train.py /
+    adver_train.py, defaults: AudioNet Spk251 (251 classes), batch 128,
+    5 s wavs, Adam; adver = in-graph PGD-10 on half the minibatch,
+    adver_train.py:37-53).  Metric: trained utterances/sec of the whole
+    jitted step (attack-in-the-loop included for adver)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from speakerguard_tpu.utils.compile_cache import enable as enable_cache
+    from speakerguard_tpu.models.audionet import init_audionet
+    from speakerguard_tpu.models.training import (
+        make_natural_train_step, make_adver_train_step,
+        make_pgd_for_training)
+
+    enable_cache()
+    rng = np.random.default_rng(0)
+    num_class = 251
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    wav_len = int(os.environ.get("BENCH_WAV_LEN", "80000"))  # ref default 5 s
+
+    params, state = init_audionet(rng, num_class=num_class)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    if train_kind == "adver_train":
+        attack = make_pgd_for_training(epsilon=0.002, step_size=0.0004,
+                                       max_iter=10)
+        step = make_adver_train_step(opt, attack, ratio=0.5, aug_eps=0.0)
+        metric = "adver_train_pgd10_audionet_utts_per_sec"
+        baseline_file = "bench_baseline_train_adver.json"
+    else:
+        step = make_natural_train_step(opt, aug_eps=0.002)
+        metric = "natural_train_audionet_utts_per_sec"
+        baseline_file = "bench_baseline_train_natural.json"
+
+    wavs = jnp.asarray(
+        (rng.uniform(-0.3, 0.3, (batch, wav_len))).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, num_class, batch))
+    key = jax.random.PRNGKey(0)
+
+    out = step(params, state, opt_state, wavs, labels, key)  # compile
+    jax.block_until_ready(out)
+    params, state, opt_state = out[0], out[1], out[2]
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = step(params, state, opt_state, wavs, labels,
+                   jax.random.fold_in(key, i))
+        params, state, opt_state = out[0], out[1], out[2]
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep
+    utts_per_sec = batch / dt
+
+    baseline = None
+    baseline_kind = "measured"
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            baseline = json.load(f).get("utts_per_sec")
+    if baseline is None:
+        # measured torch-CPU reference-equivalent train-step throughputs
+        # (REF_MODEL=train bench_reference.py on this host, batch 16 / 5 s)
+        baseline = {"adver_train": 8.92, "natural_train": 27.92}.get(
+            train_kind, 1.0)
+    print(json.dumps({
+        "metric": metric,
+        "value": round(utts_per_sec, 3),
+        "unit": "utterances/sec",
+        "vs_baseline": round(utts_per_sec / baseline, 2),
+        "baseline_kind": baseline_kind,
+        "baseline_utts_per_sec": baseline,
+        "final_loss": round(float(out[3]), 4),
+        "batch": batch,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from speakerguard_tpu.utils.compile_cache import enable as enable_cache
     from speakerguard_tpu.attacks import PGD
+
+    train_kind = os.environ.get("BENCH_ATTACK", "")
+    if train_kind in ("adver_train", "natural_train"):
+        return bench_train(train_kind)
 
     enable_cache()
     rng = np.random.default_rng(0)

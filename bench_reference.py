@@ -273,12 +273,133 @@ def main_audionet():
     print(json.dumps(out))
 
 
+def _audionet_torch_parts(num_class=251):
+    """Shared AudioNet-CSINE torch net + batched logmel frontend
+    (reference model/audionet_csine.py + Preprocessor.py:88-112)."""
+
+    class AudioNetTorch(torch.nn.Module):
+        def __init__(self, num_class):
+            super().__init__()
+            self.conv1 = torch.nn.Sequential(
+                torch.nn.Conv2d(1, 1, [5, 5], 1, [2, 2]),
+                torch.nn.BatchNorm2d(1))
+            spec = [(32, 64, 1, True), (64, 128, 1, False),
+                    (128, 128, 1, False), (128, 128, 1, True),
+                    (128, 128, 1, False), (128, 64, 1, True),
+                    (64, 32, 0, False)]
+            blocks = []
+            for cin, cout, pad, pool in spec:
+                layers = [torch.nn.Conv1d(cin, cout, 3, padding=pad),
+                          torch.nn.BatchNorm1d(cout), torch.nn.ReLU()]
+                if pool:
+                    layers.append(torch.nn.MaxPool1d(2, 2))
+                blocks.append(torch.nn.Sequential(*layers))
+            self.blocks = torch.nn.ModuleList(blocks)
+            self.fc = torch.nn.Linear(32, num_class)
+
+        def forward(self, x):  # (B, 32, T)
+            x = self.conv1(x.unsqueeze(1)).squeeze(1)
+            for blk in self.blocks:
+                x = blk(x)
+            return self.fc(x.max(2).values)
+
+    def melscale(f):
+        return 1127.0 * np.log(1.0 + f / 700.0)
+    nfft, nmel = 1024, 32
+    lo, hi = melscale(0.0), melscale(SR / 2.0)
+    delta = (hi - lo) / (nmel + 1)
+    freqs = np.arange(nfft // 2 + 1) * SR / nfft
+    mels = melscale(freqs)
+    banks = np.zeros((nmel, nfft // 2 + 1), np.float32)
+    for b in range(nmel):
+        l, c, r = lo + b * delta, lo + (b + 1) * delta, lo + (b + 2) * delta
+        banks[b] = np.maximum(0, np.minimum((mels - l) / (c - l),
+                                            (r - mels) / (r - c)))
+    melw = torch.tensor(banks)
+    window = torch.hann_window(800)
+
+    def logmel(wavs):  # (B, L) scale domain -> (B, 32, T), batched
+        w = torch.cat([wavs[:, :1], wavs[:, 1:] - 0.97 * wavs[:, :-1]], 1)
+        spec = torch.stft(w, n_fft=nfft, hop_length=160, win_length=800,
+                          window=window, return_complex=True, center=True,
+                          pad_mode="reflect")
+        power = spec.real ** 2 + spec.imag ** 2       # (B, 513, T)
+        mel = torch.einsum("mf,bft->bmt", melw, power)
+        return 10.0 * torch.log10(torch.clamp(mel, min=1e-10))
+
+    return AudioNetTorch(num_class), logmel
+
+
+def main_train():
+    """Reference-equivalent training-step baseline (natural_train.py /
+    adver_train.py defaults: AudioNet Spk251, Adam, batch 128, 5 s wavs;
+    adver = batched PGD-10 against the live model on half the minibatch +
+    a make_decision pass for the accuracy printout, adver_train.py:190-237).
+    Fully batched torch (generous to the reference — its attack and model
+    are batched here, unlike the per-utterance attackMain paths); measured
+    on a smaller batch, throughput is per-utterance."""
+    import os
+    mode = os.environ.get("REF_MODE", "train")          # train|adver_train
+    adver = mode == "adver_train"
+    net, logmel = _audionet_torch_parts(num_class=251)
+    net.train()
+    optim = torch.optim.Adam(net.parameters(), lr=1e-3)
+    batch = int(os.environ.get("REF_BATCH", "16"))
+    wav_len = 80000
+    steps = int(os.environ.get("REF_STEPS", "3"))
+    wavs = (torch.rand(batch, wav_len) - 0.5) * 0.6
+    labels = torch.randint(0, 251, (batch,))
+
+    def train_step():
+        x = wavs.clone()
+        if adver:
+            nb = batch // 2
+            xa = x[:nb]
+            lower, upper = xa - 0.002, xa + 0.002
+            for _ in range(10):                        # PGD-10 in the loop
+                xg = xa.detach().requires_grad_()
+                loss = F.cross_entropy(net(logmel(xg)), labels[:nb])
+                loss.backward()
+                xa = torch.clamp(xg + 0.0004 * xg.grad.sign(),
+                                 min=lower, max=upper)
+            x = torch.cat([xa.detach(), x[nb:]], 0)
+        else:
+            a = float(np.random.rand())
+            noise = 2 * a * 0.002 * torch.rand_like(x) - a * 0.002
+            x = torch.cat([x, x + noise], 0)
+        y = torch.cat([labels, labels], 0) if not adver else labels
+        logits = net(logmel(x))
+        loss = F.cross_entropy(logits, y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        with torch.no_grad():                          # make_decision pass
+            net(logmel(x)).argmax(1)
+        return float(loss.detach())
+
+    train_step()                                       # BN/optim warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        train_step()
+    dt = (time.perf_counter() - t0) / steps
+    out = {"utts_per_sec": round(batch / dt, 4), "batch": batch,
+           "wav_len": wav_len, "steps": steps, "host": "cpu",
+           "mode": mode}
+    fn = ("bench_baseline_train_adver.json" if adver
+          else "bench_baseline_train_natural.json")
+    with open(fn, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+
 def main():
     ref_model = __import__("os").environ.get("REF_MODEL")
     if ref_model == "iv_plda":
         return main_iv()
     if ref_model == "audionet":
         return main_audionet()
+    if ref_model == "train":
+        return main_train()
     build_consts()
     tdnn = TDNN().eval()
     lda = torch.randn(150, 513) * 0.05

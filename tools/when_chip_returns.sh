@@ -28,6 +28,8 @@ run BENCH_MODEL=iv_plda BENCH_ATTACK=cw2 SG_CW2_FAST=1  # CW2 through the fast p
 run BENCH_MODEL=xv_plda BENCH_ATTACK=cw2 SG_CW2_FAST=1 SG_TDNN_FAST=1
 run BENCH_MODEL=xv_plda BENCH_ATTACK=kenan_ssa BENCH_WAV_LEN=8000 BENCH_BATCH=16  # batched SSA point
 run BENCH_MODEL=audionet SG_FAST=1 SG_DFT_FAST_PRECISION=default  # logmel DFT 3x->1x (81/87.7 of fwd GF)
+run BENCH_ATTACK=natural_train                          # new r4 train perf point (torch-CPU base 27.9)
+run BENCH_ATTACK=adver_train                            # attack-in-the-loop train point (torch-CPU base 8.9)
 
 # re-drive the five BASELINE configs on chip (DRIVE_r04 currently records
 # a CPU run; the torch anchor is platform-independent but the judge wants
