@@ -55,7 +55,11 @@ def fast_dft_precision():
     precision for MXU passes; the exact final evaluation always re-runs
     at HIGHEST regardless."""
     import os
-    name = os.environ.get("SG_DFT_FAST_PRECISION", "high")
+    # default since r4: chip-measured ASR-identical at bf16-pass DFT
+    # matmuls on both consumers (audionet 135.5 -> 157.6 utts/s PGD-100,
+    # xv-PLDA 129.2 -> 132.7; ASR bit-equal both).  SG_DFT_FAST_PRECISION
+    # =high restores 3-pass bf16 for the attack-gradient frontend.
+    name = os.environ.get("SG_DFT_FAST_PRECISION", "default")
     table = {"high": jax.lax.Precision.HIGH,
              "default": jax.lax.Precision.DEFAULT}
     if name not in table:

@@ -121,7 +121,7 @@ def _use_pallas_chol() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _chol_factor(l_mat):
+def _chol_factor(l_mat, fast=False):
     """Returns (factor, lower).  On TPU the batched Pallas kernel computes
     the upper factor R (R^T R = L) — XLA's cholesky on (128, 600, 600)
     lowers to a ~600-step While loop costing ~23 ms/call (see
@@ -133,10 +133,13 @@ def _chol_factor(l_mat):
         # panel-rows knob: nb=16 measured +0.6 utts/s e2e over nb=8 at
         # bench shapes (same 6.5e-7 factor accuracy); nb=32 also correct
         nb = int(os.environ.get("SG_CHOL_NB", "16"))
-        # SG_CHOL_BF16=1: single-pass bf16 trailing updates (r4 experiment,
-        # VERDICT r3 #2) — factor rel err ~1e-3, gradients feed sign()
-        # steps; NOT for exact scoring runs
-        bf16 = os.environ.get("SG_CHOL_BF16", "0") == "1"
+        # bf16 single-pass trailing updates (factor rel err ~1e-3):
+        # default ON for the fast attack-gradient path (chip-measured
+        # 44.8 -> 46.6 utts/s iv-PLDA PGD-100 @512, ASR 100%, r4) whose
+        # gradients feed sign() steps; default OFF for exact scoring.
+        # SG_CHOL_BF16={0,1} forces either globally.
+        bf16 = os.environ.get("SG_CHOL_BF16",
+                              "1" if fast else "0") == "1"
         return cholesky_rt(l_mat, nb=nb, interpret=interpret,
                            bf16_updates=bf16), False
     return jnp.linalg.cholesky(l_mat), True
@@ -171,7 +174,7 @@ def _solve_kind() -> str:
     return "upper" if _use_pallas_chol() else "lower"
 
 
-def _make_spd_solve(kind: str):
+def _make_spd_solve(kind: str, fast: bool = False):
     """Build the custom-VJP SPD solve for one factorization strategy.
 
     The IFT backward (grad_rhs = A^-1 g; grad_A = -outer(grad_rhs, x))
@@ -189,7 +192,7 @@ def _make_spd_solve(kind: str):
             from speakerguard_tpu.ops.pallas_chol import chol_solve
             interpret = jax.default_backend() != "tpu"
             return chol_solve(l_mat, rhs, interpret=interpret)
-        factor, _ = _chol_factor(l_mat)
+        factor, _ = _chol_factor(l_mat, fast=fast)
         return _chol_apply(factor, lower, rhs)
 
     @jax.custom_vjp
@@ -209,7 +212,7 @@ def _make_spd_solve(kind: str):
             return -jnp.einsum("bi,bj->bij", u, x), u
     else:
         def fwd(l_mat, rhs):
-            factor, _ = _chol_factor(l_mat)
+            factor, _ = _chol_factor(l_mat, fast=fast)
             x = _chol_apply(factor, lower, rhs)
             return x, (factor, x)
 
@@ -222,18 +225,22 @@ def _make_spd_solve(kind: str):
     return solve
 
 
-_SPD_SOLVES = {k: _make_spd_solve(k) for k in ("lower", "upper", "fused")}
+_SPD_SOLVES = {(k, f): _make_spd_solve(k, f)
+               for k in ("lower", "upper", "fused") for f in (False, True)}
 
 
-def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray,
+              fast: bool = False) -> jnp.ndarray:
     """Batched SPD solve x = A^-1 rhs via Cholesky.  l_mat: (B, N, N)
     symmetric positive definite; rhs: (B, N).
 
     Custom VJP uses the implicit function theorem instead of
     differentiating through the factorization — much cheaper to compile
     and run than autodiff of cholesky on TPU — and the backward reuses
-    the forward's factor (see _make_spd_solve)."""
-    return _SPD_SOLVES[_solve_kind()](l_mat, rhs)
+    the forward's factor (see _make_spd_solve).  fast=True (the attack-
+    gradient path) selects bf16 trailing updates inside the Pallas
+    factorization by default — see _chol_factor."""
+    return _SPD_SOLVES[(_solve_kind(), fast)](l_mat, rhs)
 
 
 import functools
@@ -357,7 +364,7 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
     # an implicit-function-theorem VJP.  (Also essential on TPU: the
     # general LU jnp.linalg.solve triggers a pathological multi-minute XLA
     # compile when fused into larger graphs.)
-    ivec = spd_solve(l_mat, linear)
+    ivec = spd_solve(l_mat, linear, fast=fast)
     return ivec.at[:, 0].add(-params.offset)
 
 

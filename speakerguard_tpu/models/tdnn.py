@@ -83,10 +83,13 @@ import os
 
 
 def tdnn_fast_bwd_active() -> bool:
-    """SG_TDNN_FAST=1 routes the attack-gradient TDNN through the
-    bf16-residual fused blocks below (r4 experiment, VERDICT r3 #3 lead).
-    Opt-in until chip-measured; the forward is IDENTICAL either way."""
-    return os.environ.get("SG_TDNN_FAST", "0") == "1"
+    """SG_TDNN_FAST routes the attack-gradient TDNN through the
+    bf16-residual fused blocks below (r4, VERDICT r3 #3 lead).  Default
+    ON since chip-measured: 129.2 -> 135.4 utts/s xv-PLDA PGD-100 @128
+    with an identical 89.8% ASR (the forward is IDENTICAL either way;
+    only attack-gradient graphs, which feed sign() steps, take this
+    path).  SG_TDNN_FAST=0 restores the autodiff backward."""
+    return os.environ.get("SG_TDNN_FAST", "1") == "1"
 
 
 @functools.lru_cache(maxsize=None)
