@@ -301,7 +301,7 @@ def main():
     if defense_tag and baseline_kind == "measured":
         baseline_kind = "extrapolated-undefended-baseline"
 
-    print(json.dumps({
+    result = {
         "metric": (f"{attack_kind}{max_iter}_{model_kind}"
                    f"{defense_tag}_utts_per_sec"),
         "value": round(utts_per_sec, 3),
@@ -313,7 +313,26 @@ def main():
         "baseline_utts_per_sec": baseline,
         "attack_success_rate_pct": asr,
         "batch": batch,
-    }))
+    }
+    if attack_kind == "pgd" and not defense_tag and eot_size == 1:
+        # analytic MFU companion (VERDICT r3 #2): logical GFLOP/iter from
+        # tools/flops.py over the measured e2e iteration time.  pct of a
+        # 197 TFLOP/s bf16 peak (v5e assumption — the tunnel hides the
+        # chip model); logical FLOPs, so HIGH-precision stages understate
+        # hardware passes (see ARCHITECTURE.md MFU section).
+        try:
+            from tools.flops import gflops_table
+            want = {"iv_plda": "iv", "xv_plda": "xv",
+                    "audionet": "audionet"}[model_kind]
+            gf = sum(f + b for chain, _s, f, b, _n in
+                     gflops_table(batch, wav_len) if chain == want)
+            it_ms = dt * 1000.0 / max_iter
+            result["logical_gflop_per_iter"] = round(gf, 1)
+            result["achieved_tflops"] = round(gf / it_ms, 1)
+            result["pct_peak_bf16_197t"] = round(100 * gf / it_ms / 197, 1)
+        except Exception:
+            pass  # MFU companion is best-effort; never break the bench line
+    print(json.dumps(result))
 
     if os.environ.get("BENCH_SWEEP"):
         # batch-size sweep on the same compiled attack family: shows where

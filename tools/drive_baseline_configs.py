@@ -242,7 +242,8 @@ def main():
         print(f"AUDIT {tag}: {audits[tag]}")
 
     summary = {"results": results, "audits": audits}
-    with open(os.path.join(REPO, "DRIVE_r03.json"), "w") as f:
+    out_name = os.environ.get("DRIVE_OUT", "DRIVE_r04.json")
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(summary, f, indent=1)
     print("SUMMARY", json.dumps(summary))
 

@@ -34,5 +34,5 @@ run BENCH_ATTACK=adver_train                            # attack-in-the-loop tra
 # re-drive the five BASELINE configs on chip (DRIVE_r04 currently records
 # a CPU run; the torch anchor is platform-independent but the judge wants
 # chip-driven CLIs)
-PYTHONPATH=/root/repo:/root/repo/tests timeout 3000 python -u tools/drive_baseline_configs.py /tmp/sg_drive_chip >> "$log" 2>&1 || true
+PYTHONPATH=/root/repo:/root/repo/tests:/root/.axon_site timeout 3000 python -u tools/drive_baseline_configs.py /tmp/sg_drive_chip >> "$log" 2>&1 || true
 echo DONE >> "$log"
