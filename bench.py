@@ -163,14 +163,20 @@ def main():
         params, state = init_audionet(rng, num_class=10)
         model = AudioNet(params, state)
         enroll = None
-        default_batch = "128"
+        # r4 sweep: 180.9@128 -> 230.3@512 (chip) — the short per-call
+        # time at 128 is dominated by the tunnel's session-variable
+        # dispatch floor; 512 amortizes it
+        default_batch = "512"
     else:
         from speakerguard_tpu.models.xv_plda import (
             XvPlda, random_xv_plda_params)
         model = XvPlda(random_xv_plda_params(rng))
         enroll = jnp.asarray(
             rng.standard_normal((10, 150)).astype(np.float32))
-        default_batch = "128"
+        # r4 sweep: 134.3@128 -> 168.7-178.8@512 (chip) — same
+        # dispatch-floor amortization as audionet; r2's knee-at-128
+        # predates the r3/r4 per-iteration speedups that shortened calls
+        default_batch = "512"
     if enroll is not None:
         model.set_enrollment([str(i) for i in range(10)], enroll)
 
