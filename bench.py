@@ -84,15 +84,21 @@ def bench_train(train_kind):
     params, state = init_audionet(rng, num_class=num_class)
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
+    # BENCH_TRAIN_PRECISION=bf16 measures the mixed-precision train step
+    # (bf16 network compute, f32 master weights); default f32 = reference
+    prec = os.environ.get("BENCH_TRAIN_PRECISION", "f32")
+    prec_tag = "" if prec == "f32" else f"_{prec}"
     if train_kind == "adver_train":
         attack = make_pgd_for_training(epsilon=0.002, step_size=0.0004,
                                        max_iter=10)
-        step = make_adver_train_step(opt, attack, ratio=0.5, aug_eps=0.0)
-        metric = "adver_train_pgd10_audionet_utts_per_sec"
+        step = make_adver_train_step(opt, attack, ratio=0.5, aug_eps=0.0,
+                                     compute_dtype=prec)
+        metric = f"adver_train_pgd10_audionet{prec_tag}_utts_per_sec"
         baseline_file = "bench_baseline_train_adver.json"
     else:
-        step = make_natural_train_step(opt, aug_eps=0.002)
-        metric = "natural_train_audionet_utts_per_sec"
+        step = make_natural_train_step(opt, aug_eps=0.002,
+                                       compute_dtype=prec)
+        metric = f"natural_train_audionet{prec_tag}_utts_per_sec"
         baseline_file = "bench_baseline_train_natural.json"
 
     wavs = jnp.asarray(
@@ -244,10 +250,15 @@ def main():
                   max_iter=max_iter, loss="Entropy", EOT_size=eot_size,
                   EOT_batch_size=eot_size)
 
-    # warmup/compile
+    # warmup/compile.  BENCH_WARMUP extra calls: the tunnel's per-call
+    # dispatch floor decays over the first few calls of a process (r4
+    # observation: a batch-128 xv point read 134 utts/s as call #2 of a
+    # process but 196 deep inside a sweep process), so timing right
+    # after the compile call under-reports short-call configs
     key = jax.random.PRNGKey(0)
-    adver, _ = atk.attack(x, y, rng=key)
-    jax.block_until_ready(adver)
+    for w in range(int(os.environ.get("BENCH_WARMUP", "3"))):
+        adver, _ = atk.attack(x, y, rng=jax.random.fold_in(key, 1000 + w))
+        jax.block_until_ready(adver)
 
     n_rep = 3
     success = []

@@ -41,6 +41,9 @@ def parse_args(argv=None):
     parser.add_argument("-lr", type=float, default=1e-3)
     parser.add_argument("-n_devices", type=int, default=1)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-precision", choices=("f32", "bf16"),
+                        default="f32",
+                        help="bf16 = mixed-precision train step (bf16 network compute, f32 master weights/optimizer/BN stats); f32 matches the torch reference exactly")
     parser.add_argument("-ckpt_backend", choices=("pickle", "orbax"),
                         default="pickle",
                         help="orbax = TPU-native async checkpointing "
@@ -119,7 +122,8 @@ def main(args):
                                        step_size=args.step_size,
                                        max_iter=args.max_iter)
     step = make_adver_train_step(opt, attack, ratio=args.ratio,
-                                 aug_eps=args.aug_eps)
+                                 aug_eps=args.aug_eps,
+                                 compute_dtype=args.precision)
     mesh = None
     if args.n_devices > 1:
         mesh = make_mesh(args.n_devices, axes=("data",))

@@ -40,6 +40,9 @@ def parse_args(argv=None):
     parser.add_argument("-lr", type=float, default=1e-3)
     parser.add_argument("-n_devices", type=int, default=1)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-precision", choices=("f32", "bf16"),
+                        default="f32",
+                        help="bf16 = mixed-precision train step (bf16 network compute, f32 master weights/optimizer/BN stats); f32 matches the torch reference exactly")
     parser.add_argument("-ckpt_backend", choices=("pickle", "orbax"),
                         default="pickle",
                         help="orbax = TPU-native async checkpointing "
@@ -97,7 +100,8 @@ def main(args):
         def save_checkpoint(path, *a, wait=False, **kw):  # noqa: F811
             _sc_pickle(path, *a, **kw)
 
-    step = make_natural_train_step(opt, aug_eps=args.aug_eps)
+    step = make_natural_train_step(opt, aug_eps=args.aug_eps,
+                                   compute_dtype=args.precision)
     mesh = None
     if args.n_devices > 1:
         mesh = make_mesh(args.n_devices, axes=("data",))

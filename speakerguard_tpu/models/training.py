@@ -30,14 +30,44 @@ def cross_entropy(logits, labels):
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
 
 
-def make_natural_train_step(optimizer, aug_eps: float = 0.002):
+def _cast_floats(tree, dtype):
+    """Cast every floating leaf of a pytree (params / BN state) to dtype.
+    Differentiable: astype's VJP casts cotangents back, so master params
+    stay f32 and receive f32 gradients (the standard TPU mixed-precision
+    recipe: bf16 compute, f32 master weights + optimizer state)."""
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
+
+
+def _resolve_compute_dtype(compute_dtype):
+    """'bf16'/'f32'/None or a dtype -> dtype or None (None = exact f32,
+    the reference-parity default).  bf16 halves the HBM traffic of every
+    activation and runs the conv/matmul MXU passes single-pass — the
+    idiomatic TPU training mode; CE loss and BN running stats stay f32."""
+    if compute_dtype in (None, "f32", "float32"):
+        return None
+    if compute_dtype in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    return compute_dtype
+
+
+def make_natural_train_step(optimizer, aug_eps: float = 0.002,
+                            compute_dtype=None):
     """Returns jitted step(params, state, opt_state, wavs (B,L) scale-domain,
     labels, rng) -> (params, state, opt_state, loss, acc).
 
     Noise augmentation matches reference natural_train.py:138-148: uniform
     noise in [-a*eps, a*eps) with a ~ U[0,1), the noisy copies concatenated
     to the batch.
+
+    compute_dtype='bf16' enables mixed-precision training (bf16 network
+    compute, f32 master params / optimizer / BN running stats / loss —
+    see _cast_floats); default is exact f32 like the torch reference.
     """
+    cdt = _resolve_compute_dtype(compute_dtype)
 
     @jax.jit
     def step(params, state, opt_state, wavs, labels, rng):
@@ -54,8 +84,11 @@ def make_natural_train_step(optimizer, aug_eps: float = 0.002):
 
         def loss_fn(p):
             feats = audionet_logmel(wavs_all)
-            logits, _, new_state = audionet_logits(p, state, feats,
-                                                   train=True)
+            logits, _, new_state = audionet_logits(
+                _cast_floats(p, cdt), _cast_floats(state, cdt),
+                _cast_floats(feats, cdt), train=True)
+            logits = logits.astype(jnp.float32)
+            new_state = _cast_floats(new_state, jnp.float32 if cdt else None)
             return jnp.mean(cross_entropy(logits, labels_all)), \
                 (new_state, logits)
 
@@ -70,14 +103,18 @@ def make_natural_train_step(optimizer, aug_eps: float = 0.002):
 
 
 def make_adver_train_step(optimizer, attack_fory, ratio: float = 0.5,
-                          aug_eps: float = 0.002):
+                          aug_eps: float = 0.002, compute_dtype=None):
     """Adversarial training step: replaces `ratio` of each minibatch with
     adversarial examples generated against the CURRENT params
     (reference adver_train.py:190-223).
 
     attack_fory(params, state, wavs, labels, rng) -> adver_wavs must be a
     jittable pure function (see make_pgd_for_training).
+
+    compute_dtype='bf16': mixed-precision train substep (the in-graph
+    attack keeps its own precision policy — its gradients feed sign()).
     """
+    cdt = _resolve_compute_dtype(compute_dtype)
 
     @jax.jit
     def step(params, state, opt_state, wavs, labels, rng):
@@ -100,8 +137,11 @@ def make_adver_train_step(optimizer, attack_fory, ratio: float = 0.5,
 
         def loss_fn(p):
             feats = audionet_logmel(wavs_all)
-            logits, _, new_state = audionet_logits(p, state, feats,
-                                                   train=True)
+            logits, _, new_state = audionet_logits(
+                _cast_floats(p, cdt), _cast_floats(state, cdt),
+                _cast_floats(feats, cdt), train=True)
+            logits = logits.astype(jnp.float32)
+            new_state = _cast_floats(new_state, jnp.float32 if cdt else None)
             return jnp.mean(cross_entropy(logits, labels_all)), \
                 (new_state, logits)
 

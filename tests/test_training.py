@@ -117,3 +117,48 @@ def test_orbax_checkpoint_roundtrip(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(got_s)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mixed_precision_training_reduces_loss(rng):
+    """compute_dtype='bf16' (the TPU mixed-precision mode): master params
+    stay f32, the step runs, and the loss decreases like the f32 step.
+    On the CPU test mesh XLA executes the bf16 convs by upconversion, so
+    this validates dtype plumbing + learning dynamics, not speed."""
+    params, state = init_audionet(rng, num_class=3)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+    step = make_natural_train_step(opt, aug_eps=0.002,
+                                   compute_dtype="bf16")
+    wavs = jnp.asarray(rng.uniform(-0.3, 0.3, (6, 4000)).astype(np.float32))
+    labels = jnp.asarray([0, 0, 1, 1, 2, 2])
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, loss, acc = step(params, state, opt_state,
+                                                   wavs, labels, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # master weights and BN running stats stay f32
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(params)
+               if jnp.issubdtype(a.dtype, jnp.floating))
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(state)
+               if jnp.issubdtype(a.dtype, jnp.floating))
+
+
+def test_mixed_precision_adver_step_runs(rng):
+    params, state = init_audionet(rng, num_class=3)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    attack = make_pgd_for_training(max_iter=2)
+    step = make_adver_train_step(opt, attack, ratio=0.5, aug_eps=0.002,
+                                 compute_dtype="bf16")
+    wavs = jnp.asarray(rng.uniform(-0.3, 0.3, (4, 4000)).astype(np.float32))
+    labels = jnp.asarray([0, 1, 2, 0])
+    out = step(params, state, opt_state, wavs, labels, jax.random.PRNGKey(1))
+    assert np.isfinite(float(out[3]))
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(out[0])
+               if jnp.issubdtype(a.dtype, jnp.floating))
