@@ -76,8 +76,13 @@ class PGD(Attack):
             # it runs the model's fast attack-gradient path (bf16 weight
             # copies on iv_plda; identity elsewhere).  The FINAL evaluation
             # that determines success stays on the exact path.
+            # Per-run fast-path context (e.g. iv_plda's frozen top-K
+            # Gaussian selection under SG_GMM_TOPK): one exact-shape pass
+            # on the clean input, constants carried into the scan.
+            ctx = model.fast_context(x, params=params)  # dither-free
+            ctx_kw = {} if ctx is None else {"fast_ctx": ctx}
             score_fast = lambda xx, key: model.score(  # noqa: E731
-                xx, rng=key, params=params, fast=True)
+                xx, rng=key, params=params, fast=True, **ctx_kw)
             score_exact = lambda xx, key: model.score(  # noqa: E731
                 xx, rng=key, params=params)
             eot_run = eot(score_fast, self.loss_fn, model.threshold,

@@ -231,7 +231,8 @@ class AudioNet(SRSModel):
     def _feat_step(self, feats, ori_flag, p=None):
         raise ValueError("audionet has no feature ladder above flag 1")
 
-    def _embedding_from_top(self, feats, p=None, fast=False):
+    def _embedding_from_top(self, feats, p=None, fast=False,
+                            fast_ctx=None):
         net, state = p if p is not None else (self.net_params, self.state)
         emb, _ = audionet_embedding(net, state, feats, train=False)
         return emb

@@ -128,11 +128,21 @@ class SRSModel:
     def _feat_step(self, feats, ori_flag, p=None):
         raise NotImplementedError
 
-    def _embedding_from_top(self, feats, p=None, fast=False):
+    def _embedding_from_top(self, feats, p=None, fast=False, fast_ctx=None):
         raise NotImplementedError
 
     def _scores_from_emb(self, emb, enroll_embs=None, p=None):
         raise NotImplementedError
+
+    # ---- per-attack-run fast-path context --------------------------------
+    def fast_context(self, x, rng=None, params=None):
+        """Optional per-run constants for the fast attack-gradient path,
+        computed ONCE from the attack's clean input inside the attack's jit
+        (e.g. iv_plda's frozen top-K Gaussian selection).  Models without
+        one return None; attack runners pass the result back via
+        ``fast_ctx=`` on score/forward.  Never affects the exact
+        (fast=False) path."""
+        return None
 
     # ---- uniform API ----
     def compute_feat(self, x, flag=1, rng=None, params=None, fast=False):
@@ -153,7 +163,8 @@ class SRSModel:
             feats = self._feat_step(feats, f, p=p)
         return feats
 
-    def embedding(self, x, flag=0, rng=None, params=None, fast=False):
+    def embedding(self, x, flag=0, rng=None, params=None, fast=False,
+                  fast_ctx=None):
         # fast=True marks an attack-gradient graph: models with a bf16
         # fast path (iv_plda) honor it; others ignore it.  Callers keep
         # their final success evaluation on the exact (fast=False) path.
@@ -168,19 +179,21 @@ class SRSModel:
                                                des_flag=top, params=p)
         else:
             feats = x
-        return self._embedding_from_top(feats, p=p, fast=fast)
+        return self._embedding_from_top(feats, p=p, fast=fast,
+                                        fast_ctx=fast_ctx)
 
     def forward(self, x, flag=0, return_emb=False, enroll_embs=None,
-                rng=None, params=None, fast=False):
+                rng=None, params=None, fast=False, fast_ctx=None):
         p = self.resolve_params(params)
-        emb = self.embedding(x, flag=flag, rng=rng, params=p, fast=fast)
+        emb = self.embedding(x, flag=flag, rng=rng, params=p, fast=fast,
+                             fast_ctx=fast_ctx)
         scores = self._scores_from_emb(emb, enroll_embs=enroll_embs, p=p)
         return (scores, emb) if return_emb else scores
 
     def score(self, x, flag=0, enroll_embs=None, rng=None, params=None,
-              fast=False):
+              fast=False, fast_ctx=None):
         return self.forward(x, flag=flag, enroll_embs=enroll_embs, rng=rng,
-                            params=params, fast=fast)
+                            params=params, fast=fast, fast_ctx=fast_ctx)
 
     def make_decision(self, x, flag=0, enroll_embs=None, rng=None,
                       params=None, fast=False):

@@ -446,6 +446,133 @@ def _softmax_stats_fast_bwd(res, cots):
 _softmax_stats_fast.defvjp(_softmax_stats_fast_fwd, _softmax_stats_fast_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Top-K Gaussian selection (gselect) for the fast attack-gradient path.
+# ---------------------------------------------------------------------------
+# Kaldi-style Gaussian selection the reference never exploits
+# (gmm.py:120-131 always evaluates all C components).  Per-frame posteriors
+# of a trained (or random) full-covariance UBM are extremely concentrated
+# (top-1 mass ~0.94 measured on the bench fixture), but each frame uses a
+# DIFFERENT dominant component, so selection is per-UTTERANCE: one full
+# loglike pass on the attack's CLEAN input ranks components by summed
+# posterior mass, the top K (default 512 of 2048; measured coverage 1.000
+# at K=512, 0.976 at K=256 on the bench fixture) are frozen for the whole
+# attack run, and every iteration's loglike/softmax/stats run in the
+# selected subspace via batched matmuls against per-utterance pre-gathered
+# weight slices — a C/K FLOP cut on the dominant matmul both directions.
+# Stats are scattered back to dense (B, C)/(B, C, D), so the i-vector
+# stage is numerically untouched; the final success evaluation stays on
+# the exact full-C path as with every other fast-path knob.
+#
+# SG_GMM_TOPK=K enables it (0 = off).  Attack runners build the context
+# once per run via models.base.SRSModel.fast_context -> make_topk_context.
+
+
+def topk_k() -> int:
+    """SG_GMM_TOPK: number of selected components (0 disables)."""
+    v = _os.environ.get("SG_GMM_TOPK", "0")
+    try:
+        return int(v)
+    except ValueError:
+        raise ValueError(
+            f"SG_GMM_TOPK={v!r}: expected an integer component count "
+            "(0 disables Gaussian selection)")
+
+
+class GmmTopKContext(NamedTuple):
+    """Frozen per-utterance Gaussian selection for one attack run."""
+    sel: jax.Array          # (B, K) int32 component ids, unique per row
+    proj_sel: jax.Array     # (B, K, F_aug) pre-gathered packed projection
+    gconsts_sel: jax.Array  # (B, K)
+
+
+def make_topk_context(params: FullGMMParams, feats: jnp.ndarray,
+                      k: int) -> "GmmTopKContext | None":
+    """One full-C loglike pass on the (clean) features -> top-K selection.
+
+    Runs under stop_gradient: the selection is a frozen integer structure,
+    not part of the attack gradient.  Returns None when K >= C (selection
+    would be a no-op)."""
+    c = params.num_gaussians
+    if k >= c or k <= 0:
+        return None
+    sg = jax.lax.stop_gradient
+    feats = sg(feats)
+    dt = fast_dot_dtype()
+    aug = _augment(feats.astype(dt), params.dim)
+    ll = jnp.matmul(aug, fast_proj(params).astype(dt),
+                    preferred_element_type=jnp.float32) + params.gconsts
+    mass = jnp.sum(jax.nn.softmax(ll, axis=-1), axis=-2)   # (B, C)
+    _, sel = jax.lax.top_k(mass, k)                        # (B, K)
+    sel = sg(sel)
+    proj_t = fast_proj(params).T                           # (C, F_aug)
+    return GmmTopKContext(
+        sel=sel,
+        proj_sel=sg(jnp.take(proj_t, sel, axis=0)),        # (B, K, F)
+        gconsts_sel=sg(jnp.take(params.gconsts, sel, axis=0)),
+    )
+
+
+@jax.custom_vjp
+def _softmax_stats_topk(proj_sel, gconsts_sel, feats):
+    """Selected-subspace twin of _softmax_stats_fast: per-utterance batched
+    matmuls against the pre-gathered (B, K, F) weight slices; softmax
+    renormalizes over the selected K (the dropped tail carries ~0 mass by
+    selection).  Returns stats in SELECTED space (B, K) / (B, K, D); the
+    caller scatters to dense."""
+    d = feats.shape[-1]
+    dt = fast_dot_dtype()
+    aug = _augment(feats.astype(dt), d)
+    ll = jnp.einsum("btf,bkf->btk", aug, proj_sel.astype(dt),
+                    preferred_element_type=jnp.float32)
+    ll = ll + gconsts_sel[:, None, :]
+    posts = jax.nn.softmax(ll, axis=-1)
+    zeroth = jnp.sum(posts, axis=-2)
+    first = jnp.einsum("btk,btd->bkd", posts.astype(dt), feats.astype(dt),
+                       preferred_element_type=jnp.float32)
+    return zeroth, first
+
+
+def _softmax_stats_topk_fwd(proj_sel, gconsts_sel, feats):
+    d = feats.shape[-1]
+    dt = fast_dot_dtype()
+    aug = _augment(feats.astype(dt), d)
+    ll = jnp.einsum("btf,bkf->btk", aug, proj_sel.astype(dt),
+                    preferred_element_type=jnp.float32)
+    ll = ll + gconsts_sel[:, None, :]
+    posts = jax.nn.softmax(ll, axis=-1)
+    zeroth = jnp.sum(posts, axis=-2)
+    posts16 = posts.astype(dt)
+    first = jnp.einsum("btk,btd->bkd", posts16, feats.astype(dt),
+                       preferred_element_type=jnp.float32)
+    return (zeroth, first), (proj_sel, feats, posts16)
+
+
+def _softmax_stats_topk_bwd(res, cots):
+    proj_sel, feats, posts16 = res
+    dzeroth, dfirst = cots                   # (B, K), (B, K, D)
+    d = feats.shape[-1]
+    dt = fast_dot_dtype()
+    feats16 = feats.astype(dt)
+    dfirst16 = dfirst.astype(dt)
+    dp = dzeroth[:, None, :] + jnp.einsum(
+        "btd,bkd->btk", feats16, dfirst16,
+        preferred_element_type=jnp.float32)
+    posts = posts16.astype(jnp.float32)
+    s = jnp.sum(posts * dp, axis=-1, keepdims=True)
+    dl = posts * (dp - s)
+    daug = jnp.einsum("btk,bkf->btf", dl.astype(dt), proj_sel.astype(dt),
+                      preferred_element_type=dt)
+    grad_x = _aug_ops(d)[1](feats, daug, precision=BWD_PRECISION,
+                            fast=True)
+    grad_x = grad_x + jnp.einsum("btk,bkd->btd", posts16, dfirst16,
+                                 preferred_element_type=jnp.float32)
+    return (jnp.zeros_like(proj_sel), jnp.zeros_like(dzeroth), grad_x)
+
+
+_softmax_stats_topk.defvjp(_softmax_stats_topk_fwd, _softmax_stats_topk_bwd)
+
+
 def _use_stats_pallas() -> bool:
     """Fused loglike->softmax->stats Pallas kernel for the FAST path —
     OPT-IN (SG_GMM_STATS_PALLAS=1; interpret mode off-TPU for tests).
@@ -461,7 +588,7 @@ def _use_stats_pallas() -> bool:
 
 
 def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray,
-                       fast=False):
+                       fast=False, topk_ctx: "GmmTopKContext | None" = None):
     """feats: (B, T, D) -> (zeroth (B, C), first (B, C, D)).
 
     Matches reference gmm.py:166-171 (sum of posteriors / posterior-weighted
@@ -469,7 +596,21 @@ def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray,
     single-pass attack-gradient variant (see component_loglike);
     SG_GMM_STATS_PALLAS=1 additionally routes it through the fused Pallas
     stats kernel (ops/pallas_gmm_stats.py — opt-in, see _use_stats_pallas).
+    topk_ctx (fast path only) evaluates the selected-K subspace and
+    scatters back to dense stats — see make_topk_context.
     """
+    if fast and topk_ctx is not None:
+        sg = jax.lax.stop_gradient
+        zk, fk = _softmax_stats_topk(sg(topk_ctx.proj_sel),
+                                     sg(topk_ctx.gconsts_sel), feats)
+        b = feats.shape[0]
+        c, d = params.num_gaussians, feats.shape[-1]
+        bidx = jnp.arange(b)[:, None]
+        sel = sg(topk_ctx.sel)
+        # scatter-SET (row indices are unique): backward is a gather
+        zeroth = jnp.zeros((b, c), zk.dtype).at[bidx, sel].set(zk)
+        first = jnp.zeros((b, c, d), fk.dtype).at[bidx, sel].set(fk)
+        return zeroth, first
     if fast:
         sg = jax.lax.stop_gradient
         if _use_stats_pallas():

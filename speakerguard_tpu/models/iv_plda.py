@@ -87,17 +87,20 @@ def process_emb(params: IvPldaParams, ivec: jnp.ndarray) -> jnp.ndarray:
 
 
 def embedding_from_cmvn(params: IvPldaParams, feats: jnp.ndarray,
-                        fast=False) -> jnp.ndarray:
+                        fast=False, topk_ctx=None) -> jnp.ndarray:
     """(B, T, D) CMVN features -> (B, R) processed embeddings.
 
     fast=True runs the bf16 attack-gradient variant of the GMM stats and
     i-vector extraction (see gmm._loglike_fast / ivector._quad_contract_fast
     for why); scores drift at the bf16 level, so callers must keep the
-    final success evaluation on the exact path."""
+    final success evaluation on the exact path.  topk_ctx additionally
+    restricts the GMM stage to a frozen per-utterance component selection
+    (gmm.make_topk_context)."""
     assert feats.shape[-1] == params.fgmm.dim, (
         f"feature dim {feats.shape[-1]} != UBM dim {params.fgmm.dim}; "
         "check num_ceps (features are num_ceps*3 after deltas)")
-    zeroth, first = gmm_mod.zeroth_first_stats(params.fgmm, feats, fast=fast)
+    zeroth, first = gmm_mod.zeroth_first_stats(params.fgmm, feats, fast=fast,
+                                               topk_ctx=topk_ctx)
     ivec = iv_mod.extract_ivectors(params.extractor, zeroth, first,
                                    fast=fast)
     return process_emb(params, ivec)
@@ -148,9 +151,23 @@ class IvPlda(SRSModel):
             return sliding_cmvn(feats)
         raise ValueError(ori_flag)
 
-    def _embedding_from_top(self, feats, p=None, fast=False):
+    def _embedding_from_top(self, feats, p=None, fast=False, fast_ctx=None):
         return embedding_from_cmvn(p if p is not None else self.params,
-                                   feats, fast=fast and fast_active())
+                                   feats, fast=fast and fast_active(),
+                                   topk_ctx=fast_ctx)
+
+    def fast_context(self, x, rng=None, params=None):
+        """Frozen top-K Gaussian selection for an attack run
+        (SG_GMM_TOPK=K; see gmm.make_topk_context).  Computed from the
+        run's clean input on the fast frontend; returns None when
+        disabled so attack graphs are unchanged."""
+        k = gmm_mod.topk_k()
+        if k <= 0 or not fast_active():
+            return None
+        p = self.resolve_params(params)
+        feats = self.compute_feat(x, flag=self.allowed_flags[-1], rng=rng,
+                                  params=p, fast=True)
+        return gmm_mod.make_topk_context(p.fgmm, feats, k)
 
     def _scores_from_emb(self, emb, enroll_embs=None, p=None):
         enroll = enroll_embs if enroll_embs is not None else self.enroll_embs

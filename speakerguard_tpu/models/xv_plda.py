@@ -107,7 +107,8 @@ class XvPlda(SRSModel):
             return sliding_cmvn(feats)
         raise ValueError(ori_flag)
 
-    def _embedding_from_top(self, feats, p=None, fast=False):
+    def _embedding_from_top(self, feats, p=None, fast=False,
+                            fast_ctx=None):
         from speakerguard_tpu.models.base import fast_active
         p = p if p is not None else self.params
         emb = tdnn_embedding(p.tdnn, feats, fast=fast and fast_active())

@@ -240,3 +240,98 @@ def test_audionet_fast_dft_precision_knob(rng, monkeypatch):
     fast = np.asarray(m.score(wavs, fast=True))
     np.testing.assert_array_equal(exact, base_exact)  # exact path untouched
     np.testing.assert_allclose(fast, base_fast, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Top-K Gaussian selection (SG_GMM_TOPK) — gmm.make_topk_context
+# ---------------------------------------------------------------------------
+
+def test_topk_context_none_when_k_ge_c(small_iv, monkeypatch):
+    """K >= C (or K <= 0) disables selection: no context, unchanged graph."""
+    from speakerguard_tpu.models import gmm as G
+    model, wavs = small_iv
+    monkeypatch.setenv("SG_FAST", "1")
+    feats = model.compute_feat(wavs / 2.0 ** 15, flag=3, fast=True)
+    assert G.make_topk_context(model.params.fgmm, feats, 128) is None
+    assert G.make_topk_context(model.params.fgmm, feats, 0) is None
+    assert G.make_topk_context(model.params.fgmm, feats, 64) is not None
+
+
+def test_topk_stats_match_plain_autodiff_clone(small_iv, monkeypatch):
+    """The hand-written custom VJP of the selected-subspace stats block
+    matches autodiff of an independently-written plain-jnp clone of the
+    same math (selection fixed): forward stats equal, gradients equal to
+    fast-dtype rounding."""
+    from speakerguard_tpu.models import gmm as G
+    model, wavs = small_iv
+    monkeypatch.setenv("SG_FAST", "1")
+    p = model.params.fgmm
+    feats = model.compute_feat(wavs / 2.0 ** 15, flag=3, fast=True)
+    ctx = G.make_topk_context(p, feats, 48)
+    c, d = p.num_gaussians, p.dim
+
+    def loss_topk(f):
+        z, fs = G.zeroth_first_stats(p, f, fast=True, topk_ctx=ctx)
+        return jnp.sum(z ** 2) + jnp.sum(fs ** 2)
+
+    def loss_clone(f):
+        aug = G._augment(f, d)
+        ll = jnp.einsum("btf,bkf->btk", aug,
+                        ctx.proj_sel.astype(jnp.float32))
+        posts = jax.nn.softmax(ll + ctx.gconsts_sel[:, None, :], -1)
+        zk = posts.sum(-2)
+        fk = jnp.einsum("btk,btd->bkd", posts, f)
+        b = f.shape[0]
+        bidx = jnp.arange(b)[:, None]
+        z = jnp.zeros((b, c)).at[bidx, ctx.sel].set(zk)
+        fs = jnp.zeros((b, c, d)).at[bidx, ctx.sel].set(fk)
+        return jnp.sum(z ** 2) + jnp.sum(fs ** 2)
+
+    v1 = float(loss_topk(feats))
+    v2 = float(loss_clone(feats))
+    assert abs(v1 - v2) < 1e-3 * max(abs(v2), 1.0)
+    g1 = np.asarray(jax.grad(loss_topk)(feats))
+    g2 = np.asarray(jax.grad(loss_clone)(feats))
+    rel = np.linalg.norm(g1 - g2) / (np.linalg.norm(g2) + 1e-30)
+    assert rel < 1e-4, rel
+
+
+def test_topk_full_coverage_tracks_full_fast_path(small_iv, monkeypatch):
+    """With K large enough to cover all posterior mass (K=C-1 covers
+    everything the softmax tail doesn't), the selected-subspace stats and
+    scores track the full fast path."""
+    from speakerguard_tpu.models import gmm as G
+    from speakerguard_tpu.models.iv_plda import embedding_from_cmvn
+    model, wavs = small_iv
+    monkeypatch.setenv("SG_FAST", "1")
+    p = model.params
+    feats = model.compute_feat(wavs / 2.0 ** 15, flag=3, fast=True)
+    ctx = G.make_topk_context(p.fgmm, feats, p.fgmm.num_gaussians - 1)
+    z_t, f_t = G.zeroth_first_stats(p.fgmm, feats, fast=True, topk_ctx=ctx)
+    z_f, f_f = G.zeroth_first_stats(p.fgmm, feats, fast=True)
+    # total mass preserved (renormalization over K ~ full C)
+    np.testing.assert_allclose(np.asarray(z_t).sum(-1),
+                               np.asarray(z_f).sum(-1), rtol=1e-3)
+    emb_t = np.asarray(embedding_from_cmvn(p, feats, fast=True,
+                                           topk_ctx=ctx))
+    emb_f = np.asarray(embedding_from_cmvn(p, feats, fast=True))
+    scale = np.abs(emb_f).max()
+    assert np.abs(emb_t - emb_f).max() < 0.05 * max(scale, 1e-6)
+
+
+def test_pgd_with_topk_stays_in_ball_and_exact_eval(small_iv, monkeypatch):
+    """End-to-end PGD with SG_GMM_TOPK: the fast_context plumbing engages
+    (context built inside the attack jit), the output stays in the epsilon
+    ball, and reported success is exact-model verified."""
+    from speakerguard_tpu.attacks import PGD
+    monkeypatch.setenv("SG_FAST", "1")
+    monkeypatch.setenv("SG_GMM_TOPK", "64")
+    model, wavs = small_iv
+    x = wavs / (2.0 ** 15)
+    y, _ = model.make_decision(x)
+    atk = PGD(model, task="CSI", epsilon=0.01, step_size=0.002, max_iter=3)
+    adver, success = atk.attack(x, y, rng=jax.random.PRNGKey(0))
+    assert float(jnp.max(jnp.abs(adver - x))) <= 0.01 + 1e-6
+    d, _ = model.make_decision(adver)
+    assert [bool(int(di) != int(yi)) for di, yi in
+            zip(np.asarray(d), np.asarray(y))] == list(success)
