@@ -179,6 +179,10 @@ class SRSModel:
                                                des_flag=top, params=p)
         else:
             feats = x
+        if fast_ctx is None:
+            # Keep old-signature subclasses working (e.g. test toy models):
+            # only models that produce a fast_context need the kwarg.
+            return self._embedding_from_top(feats, p=p, fast=fast)
         return self._embedding_from_top(feats, p=p, fast=fast,
                                         fast_ctx=fast_ctx)
 
