@@ -452,25 +452,41 @@ _softmax_stats_fast.defvjp(_softmax_stats_fast_fwd, _softmax_stats_fast_bwd)
 # Kaldi-style Gaussian selection the reference never exploits
 # (gmm.py:120-131 always evaluates all C components).  Per-frame posteriors
 # of a trained (or random) full-covariance UBM are extremely concentrated
-# (top-1 mass ~0.94 measured on the bench fixture), but each frame uses a
-# DIFFERENT dominant component, so selection is per-UTTERANCE: one full
-# loglike pass on the attack's CLEAN input ranks components by summed
-# posterior mass, the top K (default 512 of 2048; measured coverage 1.000
-# at K=512, 0.976 at K=256 on the bench fixture) are frozen for the whole
-# attack run, and every iteration's loglike/softmax/stats run in the
-# selected subspace via batched matmuls against per-utterance pre-gathered
-# weight slices — a C/K FLOP cut on the dominant matmul both directions.
-# Stats are scattered back to dense (B, C)/(B, C, D), so the i-vector
-# stage is numerically untouched; the final success evaluation stays on
-# the exact full-C path as with every other fast-path knob.
+# (top-1 mass ~0.94 measured on the bench fixture), so one full loglike
+# pass on the attack's CLEAN input ranks components and the top K are
+# frozen for the whole attack run; every iteration's loglike/softmax/stats
+# run in the selected subspace — a C/K FLOP cut on the dominant matmul in
+# both directions.  The final success evaluation stays on the exact full-C
+# path as with every other fast-path knob.
 #
-# SG_GMM_TOPK=K enables it (0 = off).  Attack runners build the context
-# once per run via models.base.SRSModel.fast_context -> make_topk_context.
+# The selection is SHARED across the batch (r5 redesign): components are
+# ranked by max-over-utterances posterior-mass fraction, so any utterance's
+# dominant components make the cut, and the frozen weight slice is ONE
+# dense (F_aug, K) matrix.  The r4 per-utterance design pre-gathered a
+# (B, K, F_aug) weight tensor — ~0.5 GB of bf16 HBM read per iteration at
+# bench shapes (B=512, K=256), which ate the FLOP savings (K=256 measured
+# SLOWER than off; VERDICT r4 weak #1).  With a shared slice the subspace
+# stats are literally `_softmax_stats_fast` on a smaller projection, there
+# is no scatter-back (the i-vector stage consumes selected-space stats
+# against equally-sliced extractor tensors — see ivector.IvectorTopK), and
+# the selection also cuts the i-vector quad-contract and linear-term
+# matmuls (the #2/#3 FLOP consumers) by the same C/K factor.
+#
+# SG_GMM_TOPK=K sets the component count (0 disables; default 512 — chip-
+# A/B'd r5: see ARCHITECTURE.md).  Attack runners build the context once
+# per run via models.base.SRSModel.fast_context -> iv_plda.fast_context.
 
 
 def topk_k() -> int:
-    """SG_GMM_TOPK: number of selected components (0 disables)."""
-    v = _os.environ.get("SG_GMM_TOPK", "0")
+    """SG_GMM_TOPK: number of selected components (0 disables).
+
+    Default 256 (of the reference UBM's 2048): chip-A/B'd r5 at bench
+    shapes (PGD-100 iv-PLDA batch 512, measurements/r05_topk_ab_log.txt):
+    off 47.9 / K=512 64.8-65.0 / K=256 69.1 / K=128 71.7 / K=64 72.4
+    utts/s — but ASR drops below 100 at K<=128 (99.4 / 97.1), so 256 is
+    the largest win that keeps the attack success vector intact; the
+    final success evaluation stays on the exact full-C path regardless."""
+    v = _os.environ.get("SG_GMM_TOPK", "256")
     try:
         return int(v)
     except ValueError:
@@ -480,19 +496,22 @@ def topk_k() -> int:
 
 
 class GmmTopKContext(NamedTuple):
-    """Frozen per-utterance Gaussian selection for one attack run."""
-    sel: jax.Array          # (B, K) int32 component ids, unique per row
-    proj_sel: jax.Array     # (B, K, F_aug) pre-gathered packed projection
-    gconsts_sel: jax.Array  # (B, K)
+    """Frozen batch-shared Gaussian selection for one attack run."""
+    sel: jax.Array          # (K,) int32 component ids, unique
+    proj_sel: jax.Array     # (F_aug, K) packed projection columns (bf16)
+    gconsts_sel: jax.Array  # (K,)
 
 
 def make_topk_context(params: FullGMMParams, feats: jnp.ndarray,
                       k: int) -> "GmmTopKContext | None":
-    """One full-C loglike pass on the (clean) features -> top-K selection.
+    """One full-C loglike pass on the (clean) features -> shared top-K.
 
-    Runs under stop_gradient: the selection is a frozen integer structure,
-    not part of the attack gradient.  Returns None when K >= C (selection
-    would be a no-op)."""
+    Components are scored by the max over utterances of their per-utterance
+    posterior-mass fraction: a component that dominates ANY utterance in
+    the batch outranks one carrying moderate mass everywhere, so the shared
+    set covers each utterance's own top components first.  Runs under
+    stop_gradient: the selection is a frozen structure, not part of the
+    attack gradient.  Returns None when K >= C (selection is a no-op)."""
     c = params.num_gaussians
     if k >= c or k <= 0:
         return None
@@ -502,75 +521,65 @@ def make_topk_context(params: FullGMMParams, feats: jnp.ndarray,
     aug = _augment(feats.astype(dt), params.dim)
     ll = jnp.matmul(aug, fast_proj(params).astype(dt),
                     preferred_element_type=jnp.float32) + params.gconsts
-    mass = jnp.sum(jax.nn.softmax(ll, axis=-1), axis=-2)   # (B, C)
-    _, sel = jax.lax.top_k(mass, k)                        # (B, K)
+    frac = jnp.mean(jax.nn.softmax(ll, axis=-1), axis=-2)  # (B, C)
+    score = jnp.max(frac, axis=0)                          # (C,)
+    _, sel = jax.lax.top_k(score, k)                       # (K,)
     sel = sg(sel)
-    proj_t = fast_proj(params).T                           # (C, F_aug)
     return GmmTopKContext(
         sel=sel,
-        proj_sel=sg(jnp.take(proj_t, sel, axis=0)),        # (B, K, F)
+        proj_sel=sg(jnp.take(fast_proj(params), sel, axis=1)),  # (F, K)
         gconsts_sel=sg(jnp.take(params.gconsts, sel, axis=0)),
     )
 
 
-@jax.custom_vjp
-def _softmax_stats_topk(proj_sel, gconsts_sel, feats):
-    """Selected-subspace twin of _softmax_stats_fast: per-utterance batched
-    matmuls against the pre-gathered (B, K, F) weight slices; softmax
-    renormalizes over the selected K (the dropped tail carries ~0 mass by
-    selection).  Returns stats in SELECTED space (B, K) / (B, K, D); the
-    caller scatters to dense."""
-    d = feats.shape[-1]
-    dt = fast_dot_dtype()
-    aug = _augment(feats.astype(dt), d)
-    ll = jnp.einsum("btf,bkf->btk", aug, proj_sel.astype(dt),
-                    preferred_element_type=jnp.float32)
-    ll = ll + gconsts_sel[:, None, :]
-    posts = jax.nn.softmax(ll, axis=-1)
-    zeroth = jnp.sum(posts, axis=-2)
-    first = jnp.einsum("btk,btd->bkd", posts.astype(dt), feats.astype(dt),
-                       preferred_element_type=jnp.float32)
-    return zeroth, first
+def stats_t_chunk() -> int:
+    """SG_GMM_STATS_TCHUNK: frames per chunk for the fast-path stats scan
+    (0 = unchunked).  The moral equivalent of the reference's gmm_frame_bs
+    memory knob (gmm.py:120-131): the unchunked fast path materializes
+    (B, T, C) f32 loglikes + posteriors live — ~5 GB at batch 1024 bench
+    shapes, which collapsed iv-PLDA throughput (26.7 utts/s, VERDICT r4
+    weak #4).  Chunking bounds the live set at (B, Tc, C) while the
+    bf16 posterior residuals (unavoidable for the backward) stay whole."""
+    v = _os.environ.get("SG_GMM_STATS_TCHUNK", "0")
+    try:
+        return int(v)
+    except ValueError:
+        raise ValueError(
+            f"SG_GMM_STATS_TCHUNK must be an int, got {v!r}") from None
 
 
-def _softmax_stats_topk_fwd(proj_sel, gconsts_sel, feats):
-    d = feats.shape[-1]
-    dt = fast_dot_dtype()
-    aug = _augment(feats.astype(dt), d)
-    ll = jnp.einsum("btf,bkf->btk", aug, proj_sel.astype(dt),
-                    preferred_element_type=jnp.float32)
-    ll = ll + gconsts_sel[:, None, :]
-    posts = jax.nn.softmax(ll, axis=-1)
-    zeroth = jnp.sum(posts, axis=-2)
-    posts16 = posts.astype(dt)
-    first = jnp.einsum("btk,btd->bkd", posts16, feats.astype(dt),
-                       preferred_element_type=jnp.float32)
-    return (zeroth, first), (proj_sel, feats, posts16)
+def _softmax_stats_fast_chunked(proj, gconsts, feats, t_chunk):
+    """lax.scan of _softmax_stats_fast over T-chunks, accumulating the
+    (B, C) / (B, C, D) sums in f32.  Per-frame softmax is independent, so
+    chunking only reorders the frame sums (f32 accumulation both ways);
+    drift vs the one-shot path is at bf16 rounding level, fast-path only."""
+    b, t, d = feats.shape
+    n, rem = divmod(t, t_chunk)
+    c = proj.shape[-1]
+    z = jnp.zeros((b, c), jnp.float32)
+    f = jnp.zeros((b, c, d), jnp.float32)
+    if n:
+        xs = jnp.moveaxis(
+            feats[:, :n * t_chunk].reshape(b, n, t_chunk, d), 1, 0)
+
+        def body(carry, xc):
+            zc, fc = _softmax_stats_fast(proj, gconsts, xc)
+            return (carry[0] + zc, carry[1] + fc), None
+
+        (z, f), _ = jax.lax.scan(body, (z, f), xs)
+    if rem:
+        zc, fc = _softmax_stats_fast(proj, gconsts, feats[:, n * t_chunk:])
+        z, f = z + zc, f + fc
+    return z, f
 
 
-def _softmax_stats_topk_bwd(res, cots):
-    proj_sel, feats, posts16 = res
-    dzeroth, dfirst = cots                   # (B, K), (B, K, D)
-    d = feats.shape[-1]
-    dt = fast_dot_dtype()
-    feats16 = feats.astype(dt)
-    dfirst16 = dfirst.astype(dt)
-    dp = dzeroth[:, None, :] + jnp.einsum(
-        "btd,bkd->btk", feats16, dfirst16,
-        preferred_element_type=jnp.float32)
-    posts = posts16.astype(jnp.float32)
-    s = jnp.sum(posts * dp, axis=-1, keepdims=True)
-    dl = posts * (dp - s)
-    daug = jnp.einsum("btk,bkf->btf", dl.astype(dt), proj_sel.astype(dt),
-                      preferred_element_type=dt)
-    grad_x = _aug_ops(d)[1](feats, daug, precision=BWD_PRECISION,
-                            fast=True)
-    grad_x = grad_x + jnp.einsum("btk,bkd->btd", posts16, dfirst16,
-                                 preferred_element_type=jnp.float32)
-    return (jnp.zeros_like(proj_sel), jnp.zeros_like(dzeroth), grad_x)
-
-
-_softmax_stats_topk.defvjp(_softmax_stats_topk_fwd, _softmax_stats_topk_bwd)
+def _stats_fast(proj, gconsts, feats):
+    """Fast-path stats dispatch: chunked scan when SG_GMM_STATS_TCHUNK is
+    set and the utterance is longer than one chunk, else one-shot."""
+    tc = stats_t_chunk()
+    if tc and feats.shape[1] > tc:
+        return _softmax_stats_fast_chunked(proj, gconsts, feats, tc)
+    return _softmax_stats_fast(proj, gconsts, feats)
 
 
 def _use_stats_pallas() -> bool:
@@ -595,22 +604,19 @@ def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray,
     frame sum) without the frame-batching loop.  fast=True runs the bf16
     single-pass attack-gradient variant (see component_loglike);
     SG_GMM_STATS_PALLAS=1 additionally routes it through the fused Pallas
-    stats kernel (ops/pallas_gmm_stats.py — opt-in, see _use_stats_pallas).
+    stats kernel (ops/pallas_gmm_stats.py — opt-in, see _use_stats_pallas);
+    SG_GMM_STATS_TCHUNK=N scans the fast path over N-frame chunks to bound
+    live HBM at large batch (see stats_t_chunk).
     topk_ctx (fast path only) evaluates the selected-K subspace and
-    scatters back to dense stats — see make_topk_context.
+    returns SELECTED-space stats (B, K) / (B, K, D) — no scatter-back; the
+    i-vector stage consumes them against equally-sliced extractor tensors
+    (ivector.IvectorTopK).  The shared (F_aug, K) slice is just a smaller
+    quad_proj, so the subspace stats ARE _softmax_stats_fast.
     """
     if fast and topk_ctx is not None:
         sg = jax.lax.stop_gradient
-        zk, fk = _softmax_stats_topk(sg(topk_ctx.proj_sel),
-                                     sg(topk_ctx.gconsts_sel), feats)
-        b = feats.shape[0]
-        c, d = params.num_gaussians, feats.shape[-1]
-        bidx = jnp.arange(b)[:, None]
-        sel = sg(topk_ctx.sel)
-        # scatter-SET (row indices are unique): backward is a gather
-        zeroth = jnp.zeros((b, c), zk.dtype).at[bidx, sel].set(zk)
-        first = jnp.zeros((b, c, d), fk.dtype).at[bidx, sel].set(fk)
-        return zeroth, first
+        return _stats_fast(sg(topk_ctx.proj_sel),
+                           sg(topk_ctx.gconsts_sel), feats)
     if fast:
         sg = jax.lax.stop_gradient
         if _use_stats_pallas():
@@ -618,8 +624,7 @@ def zeroth_first_stats(params: FullGMMParams, feats: jnp.ndarray,
             interpret = jax.default_backend() != "tpu"
             return fused_stats(sg(fast_proj(params)),
                                sg(params.gconsts), feats, interpret)
-        return _softmax_stats_fast(sg(fast_proj(params)),
-                                   sg(params.gconsts), feats)
+        return _stats_fast(sg(fast_proj(params)), sg(params.gconsts), feats)
     posts = posteriors(params, feats, fast=fast)   # (B, T, C)
     zeroth = jnp.sum(posts, axis=-2)               # (B, C)
     first = jnp.einsum("btc,btd->bcd", posts, feats,

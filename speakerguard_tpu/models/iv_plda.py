@@ -86,23 +86,46 @@ def process_emb(params: IvPldaParams, ivec: jnp.ndarray) -> jnp.ndarray:
                                       normalize_length=True)
 
 
+class IvFastContext(NamedTuple):
+    """Per-attack-run frozen top-K Gaussian selection: the shared GMM
+    selection plus the matching i-vector extractor slices (the whole
+    GMM -> stats -> i-vector chain runs in the selected subspace; see
+    gmm.make_topk_context / ivector.make_topk_slices)."""
+    gmm: gmm_mod.GmmTopKContext
+    iv: iv_mod.IvectorTopK
+
+
+def make_fast_context(params: IvPldaParams, feats: jnp.ndarray,
+                      k: int) -> "IvFastContext | None":
+    """Shared top-K selection from (clean) CMVN features + extractor
+    slices.  None when selection is a no-op (K<=0 or K>=C)."""
+    g = gmm_mod.make_topk_context(params.fgmm, feats, k)
+    if g is None:
+        return None
+    return IvFastContext(gmm=g,
+                         iv=iv_mod.make_topk_slices(params.extractor, g.sel))
+
+
 def embedding_from_cmvn(params: IvPldaParams, feats: jnp.ndarray,
-                        fast=False, topk_ctx=None) -> jnp.ndarray:
+                        fast=False, topk_ctx: "IvFastContext | None" = None
+                        ) -> jnp.ndarray:
     """(B, T, D) CMVN features -> (B, R) processed embeddings.
 
     fast=True runs the bf16 attack-gradient variant of the GMM stats and
     i-vector extraction (see gmm._loglike_fast / ivector._quad_contract_fast
     for why); scores drift at the bf16 level, so callers must keep the
     final success evaluation on the exact path.  topk_ctx additionally
-    restricts the GMM stage to a frozen per-utterance component selection
-    (gmm.make_topk_context)."""
+    restricts the GMM stats AND the i-vector contraction to a frozen
+    batch-shared component selection (make_fast_context)."""
     assert feats.shape[-1] == params.fgmm.dim, (
         f"feature dim {feats.shape[-1]} != UBM dim {params.fgmm.dim}; "
         "check num_ceps (features are num_ceps*3 after deltas)")
-    zeroth, first = gmm_mod.zeroth_first_stats(params.fgmm, feats, fast=fast,
-                                               topk_ctx=topk_ctx)
-    ivec = iv_mod.extract_ivectors(params.extractor, zeroth, first,
-                                   fast=fast)
+    zeroth, first = gmm_mod.zeroth_first_stats(
+        params.fgmm, feats, fast=fast,
+        topk_ctx=None if topk_ctx is None else topk_ctx.gmm)
+    ivec = iv_mod.extract_ivectors(
+        params.extractor, zeroth, first, fast=fast,
+        topk=None if topk_ctx is None else topk_ctx.iv)
     return process_emb(params, ivec)
 
 
@@ -157,8 +180,8 @@ class IvPlda(SRSModel):
                                    topk_ctx=fast_ctx)
 
     def fast_context(self, x, rng=None, params=None):
-        """Frozen top-K Gaussian selection for an attack run
-        (SG_GMM_TOPK=K; see gmm.make_topk_context).  Computed from the
+        """Frozen batch-shared top-K Gaussian selection for an attack run
+        (SG_GMM_TOPK=K; see make_fast_context).  Computed from the
         run's clean input on the fast frontend; returns None when
         disabled so attack graphs are unchanged."""
         k = gmm_mod.topk_k()
@@ -167,7 +190,7 @@ class IvPlda(SRSModel):
         p = self.resolve_params(params)
         feats = self.compute_feat(x, flag=self.allowed_flags[-1], rng=rng,
                                   params=p, fast=True)
-        return gmm_mod.make_topk_context(p.fgmm, feats, k)
+        return make_fast_context(p, feats, k)
 
     def _scores_from_emb(self, emb, enroll_embs=None, p=None):
         enroll = enroll_embs if enroll_embs is not None else self.enroll_embs

@@ -331,21 +331,56 @@ def _qcf_bwd(quad_packed_bf16, cot):
 _quad_contract_fast.defvjp(_qcf_fwd, _qcf_bwd)
 
 
+class IvectorTopK(NamedTuple):
+    """Extractor tensors sliced to a frozen shared component selection
+    (gmm.GmmTopKContext.sel) for one attack run: the i-vector quad
+    contract and linear term run in the selected subspace — the dropped
+    components carry ~0 posterior mass, so this equals the dense math on
+    scattered-back stats without materializing (B, C[, D]) anything."""
+    quad_sel: jax.Array  # (K, IV(IV+1)/2) bf16
+    proj_sel: jax.Array  # (K, IV, D) bf16
+
+
+def make_topk_slices(params: IvectorExtractorParams,
+                     sel: jnp.ndarray) -> IvectorTopK:
+    """Gather the (K, .) extractor slices for a shared selection — once
+    per attack run, inside the attack jit (the gathers read ~230 MB bf16
+    at full size / K=512; amortized over the run's iterations)."""
+    sg = jax.lax.stop_gradient
+    return IvectorTopK(
+        quad_sel=sg(jnp.take(_fast_quad(params), sel, axis=0)),
+        proj_sel=sg(jnp.take(_fast_proj(params), sel, axis=0)),
+    )
+
+
 def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
-                     first: jnp.ndarray, fast=False) -> jnp.ndarray:
+                     first: jnp.ndarray, fast=False,
+                     topk: "IvectorTopK | None" = None) -> jnp.ndarray:
     """zeroth: (B, C), first: (B, C, D) -> ivectors (B, IV).
 
     Matches reference ivector_extract.py:98-114 (Extractivector), batched.
     fast=True uses the bf16 parameter copies (attack-gradient path only;
-    the SPD solve stays f32).
+    the SPD solve stays f32).  topk (fast only) consumes SELECTED-space
+    stats (B, K) / (B, K, D) against the pre-sliced extractor tensors —
+    see IvectorTopK.
     """
+    assert topk is None or fast, "topk slices are a fast-path-only knob"
     iv = params.ivector_dim
     # packed-symmetric accumulation: one (B, C) @ (C, IV(IV+1)/2) matmul
     # reads half the bytes of the full (C, IV, IV) form; the full L is then
     # a cheap gather-unpack of the (B, P) result.  Forward at HIGH (score
     # parity); cotangent at BWD_PRECISION (gradients feed sign() steps).
     from speakerguard_tpu.models.gmm import HOT_PRECISION
-    if fast:
+    if fast and topk is not None:
+        from speakerguard_tpu.models.gmm import fast_dot_dtype
+        dt = fast_dot_dtype()
+        sg = jax.lax.stop_gradient
+        l_packed = _quad_contract_fast(zeroth, sg(topk.quad_sel))
+        linear = jnp.einsum("kid,bkd->bi",
+                            sg(topk.proj_sel).astype(dt),
+                            first.astype(dt),
+                            preferred_element_type=jnp.float32)
+    elif fast:
         from speakerguard_tpu.models.gmm import fast_dot_dtype
         dt = fast_dot_dtype()
         sg = jax.lax.stop_gradient

@@ -258,17 +258,17 @@ def test_topk_context_none_when_k_ge_c(small_iv, monkeypatch):
 
 
 def test_topk_stats_match_plain_autodiff_clone(small_iv, monkeypatch):
-    """The hand-written custom VJP of the selected-subspace stats block
-    matches autodiff of an independently-written plain-jnp clone of the
-    same math (selection fixed): forward stats equal, gradients equal to
-    fast-dtype rounding."""
+    """The selected-subspace stats (shared (F, K) slice through the fused
+    fast stats block) match autodiff of an independently-written plain-jnp
+    clone of the same math (selection fixed): forward stats equal,
+    gradients equal to fast-dtype rounding."""
     from speakerguard_tpu.models import gmm as G
     model, wavs = small_iv
     monkeypatch.setenv("SG_FAST", "1")
     p = model.params.fgmm
     feats = model.compute_feat(wavs / 2.0 ** 15, flag=3, fast=True)
     ctx = G.make_topk_context(p, feats, 48)
-    c, d = p.num_gaussians, p.dim
+    d = p.dim
 
     def loss_topk(f):
         z, fs = G.zeroth_first_stats(p, f, fast=True, topk_ctx=ctx)
@@ -276,16 +276,12 @@ def test_topk_stats_match_plain_autodiff_clone(small_iv, monkeypatch):
 
     def loss_clone(f):
         aug = G._augment(f, d)
-        ll = jnp.einsum("btf,bkf->btk", aug,
+        ll = jnp.einsum("btf,fk->btk", aug,
                         ctx.proj_sel.astype(jnp.float32))
-        posts = jax.nn.softmax(ll + ctx.gconsts_sel[:, None, :], -1)
+        posts = jax.nn.softmax(ll + ctx.gconsts_sel[None, None, :], -1)
         zk = posts.sum(-2)
         fk = jnp.einsum("btk,btd->bkd", posts, f)
-        b = f.shape[0]
-        bidx = jnp.arange(b)[:, None]
-        z = jnp.zeros((b, c)).at[bidx, ctx.sel].set(zk)
-        fs = jnp.zeros((b, c, d)).at[bidx, ctx.sel].set(fk)
-        return jnp.sum(z ** 2) + jnp.sum(fs ** 2)
+        return jnp.sum(zk ** 2) + jnp.sum(fk ** 2)
 
     v1 = float(loss_topk(feats))
     v2 = float(loss_clone(feats))
@@ -299,15 +295,21 @@ def test_topk_stats_match_plain_autodiff_clone(small_iv, monkeypatch):
 def test_topk_full_coverage_tracks_full_fast_path(small_iv, monkeypatch):
     """With K large enough to cover all posterior mass (K=C-1 covers
     everything the softmax tail doesn't), the selected-subspace stats and
-    scores track the full fast path."""
+    scores track the full fast path — including the selected-subspace
+    i-vector contraction (ivector.IvectorTopK slices)."""
     from speakerguard_tpu.models import gmm as G
-    from speakerguard_tpu.models.iv_plda import embedding_from_cmvn
+    from speakerguard_tpu.models.iv_plda import (embedding_from_cmvn,
+                                                 make_fast_context)
     model, wavs = small_iv
     monkeypatch.setenv("SG_FAST", "1")
     p = model.params
     feats = model.compute_feat(wavs / 2.0 ** 15, flag=3, fast=True)
-    ctx = G.make_topk_context(p.fgmm, feats, p.fgmm.num_gaussians - 1)
-    z_t, f_t = G.zeroth_first_stats(p.fgmm, feats, fast=True, topk_ctx=ctx)
+    k = p.fgmm.num_gaussians - 1
+    ctx = make_fast_context(p, feats, k)
+    assert ctx.gmm.sel.shape == (k,)          # shared selection, no B axis
+    assert ctx.gmm.proj_sel.shape[-1] == k    # (F_aug, K) dense slice
+    z_t, f_t = G.zeroth_first_stats(p.fgmm, feats, fast=True,
+                                    topk_ctx=ctx.gmm)
     z_f, f_f = G.zeroth_first_stats(p.fgmm, feats, fast=True)
     # total mass preserved (renormalization over K ~ full C)
     np.testing.assert_allclose(np.asarray(z_t).sum(-1),
@@ -335,3 +337,48 @@ def test_pgd_with_topk_stays_in_ball_and_exact_eval(small_iv, monkeypatch):
     d, _ = model.make_decision(adver)
     assert [bool(int(di) != int(yi)) for di, yi in
             zip(np.asarray(d), np.asarray(y))] == list(success)
+
+
+def test_tchunk_stats_match_unchunked(small_iv, monkeypatch):
+    """SG_GMM_STATS_TCHUNK (frame-chunked fast-path stats scan, the moral
+    equivalent of the reference's gmm_frame_bs memory knob) must match the
+    one-shot fast path: forward stats and input gradients to f32-accumulation
+    reordering tolerance — including a non-dividing chunk size (tail chunk)
+    and under a top-K selection context."""
+    from speakerguard_tpu.models import gmm as G
+    from speakerguard_tpu.models.iv_plda import make_fast_context
+    model, wavs = small_iv
+    monkeypatch.setenv("SG_FAST", "1")
+    p = model.params.fgmm
+    feats = model.compute_feat(wavs / 2.0 ** 15, flag=3, fast=True)
+    t = feats.shape[1]
+    assert t % 7 != 0  # exercise the remainder path
+
+    def run(loss_feats, topk_ctx=None):
+        def loss(f):
+            z, fs = G.zeroth_first_stats(p, f, fast=True, topk_ctx=topk_ctx)
+            return jnp.sum(z ** 2) + jnp.sum(fs ** 2)
+        return float(loss(loss_feats)), jax.grad(loss)(loss_feats)
+
+    monkeypatch.delenv("SG_GMM_STATS_TCHUNK", raising=False)
+    v0, g0 = run(feats)
+    for tc in ("7", "64", str(10 * t)):  # tail chunk / divisor-ish / > T
+        monkeypatch.setenv("SG_GMM_STATS_TCHUNK", tc)
+        v1, g1 = run(feats)
+        assert abs(v1 - v0) <= 1e-4 * abs(v0)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=6e-3, atol=1e-6)
+
+    # chunked + shared top-K selection compose (slightly looser: the K-
+    # renormalized posteriors amplify bf16 accumulation reordering a bit
+    # more; these gradients feed sign() steps, so direction is what counts)
+    ctx = make_fast_context(model.params, feats, 48)
+    monkeypatch.delenv("SG_GMM_STATS_TCHUNK", raising=False)
+    v0, g0 = run(feats, ctx.gmm)
+    monkeypatch.setenv("SG_GMM_STATS_TCHUNK", "7")
+    v1, g1 = run(feats, ctx.gmm)
+    assert abs(v1 - v0) <= 1e-4 * abs(v0)
+    g0n, g1n = np.asarray(g0).ravel(), np.asarray(g1).ravel()
+    cos = g0n @ g1n / (np.linalg.norm(g0n) * np.linalg.norm(g1n))
+    assert cos > 0.99999
+    np.testing.assert_allclose(g1n, g0n, rtol=3e-2, atol=2e-4)

@@ -366,3 +366,41 @@ def test_prefetch_preserves_sequence_and_errors(rng, tmp_path):
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         list(it)
+
+
+def test_pgd_mesh_sharded_iv_topk_matches_single(rng, monkeypatch):
+    """Mesh-sharded PGD with the r5 SHARED top-K Gaussian selection
+    active (SG_FAST=1, SG_GMM_TOPK < C): the selection's
+    max-over-utterances score reduces over the SHARDED batch axis (GSPMD
+    inserts the cross-device reduction), the frozen (F, K) slice is
+    replicated, and the sharded run matches the single-device run to the
+    same contract as the dense iv mesh test."""
+    from speakerguard_tpu.models.iv_plda import IvPlda, random_iv_plda_params
+    from speakerguard_tpu.attacks import PGD
+
+    monkeypatch.setenv("SG_FAST", "1")
+    monkeypatch.setenv("SG_GMM_TOPK", "24")
+    params = random_iv_plda_params(rng, num_gaussians=64, dim=72,
+                                   ivector_dim=48, reduced_dim=16)
+    m = IvPlda(params)
+    enroll = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+    m.set_enrollment(["a", "b", "c"], enroll)
+    x = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 8000)).astype(np.float32))
+    y, _ = m.make_decision(x)
+    key = jax.random.PRNGKey(5)
+
+    # sanity: the context actually engages on this fixture
+    ctx = m.fast_context(x)
+    assert ctx is not None and ctx.gmm.sel.shape == (24,)
+
+    adv1, s1 = PGD(m, task="CSI", epsilon=0.004, step_size=0.001,
+                   max_iter=2).attack(x, y, rng=key)
+    mesh = make_mesh(8, axes=("data",))
+    adv2, s2 = PGD(m, task="CSI", epsilon=0.004, step_size=0.001,
+                   max_iter=2, mesh=mesh).attack(x, y, rng=key)
+    assert len(adv2.sharding.device_set) == 8
+    assert s1 == s2
+    a1, a2 = np.asarray(adv1), np.asarray(adv2)
+    frac_diff = np.mean(np.abs(a1 - a2) > 1e-6)
+    assert frac_diff < 1e-3, frac_diff
+    assert np.max(np.abs(a1 - a2)) <= 2 * 0.004 + 1e-6

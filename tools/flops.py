@@ -19,7 +19,12 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def gflops_table(batch=128, wav_len=48000):
+def gflops_table(batch=128, wav_len=48000, topk=0, topk_amortize_iters=100):
+    """topk > 0: the iv chain's GMM loglike/stats and i-vector quad/linear
+    stages run in the selected K-subspace (shared selection, see
+    gmm.make_topk_context) — their FLOPs scale by K/C — plus one full-C
+    selection pass per attack run amortized over topk_amortize_iters
+    iterations.  topk=0 (or >= C) is the dense path."""
     from speakerguard_tpu.ops.kaldi_mfcc import (IV_PLDA_MFCC, XV_PLDA_MFCC,
                                                  MfccConfig)
     from speakerguard_tpu.models.tdnn import TDNN_SPEC
@@ -55,20 +60,32 @@ def gflops_table(batch=128, wav_len=48000):
     IV = 600
     PIV = IV * (IV + 1) // 2      # 180300 packed quad lanes
 
+    # shared top-K Gaussian selection (SG_GMM_TOPK): the four C-scaled
+    # stages evaluate K components; one full-C ranking pass per run
+    # amortizes over the run's iterations
+    K = C if not topk or topk >= C else topk
+    sel_note = "" if K == C else f" topK={K}"
+
     aug_bytes = B * T * F * 2 * 3 / 1e9  # bf16 gather+mul traffic, GB
     add("iv", f"GMM aug (B,T,{F})", 0.0, 0.0,
         f"memory-bound ~{aug_bytes:.2f} GB bf16/dir")
-    loglike = 2 * B * T * F * C / 1e9
-    add("iv", f"GMM loglike ({F}x{C})", loglike, loglike,
-        "fast bf16 1-pass; THE dominant matmul")
-    stats = (2 * B * T * C * D) / 1e9
-    softmax = 6 * B * T * C / 1e9
-    add("iv", "softmax+stats (btc,btd->bcd)", stats + softmax,
-        2 * stats + softmax, "fused custom VJP, bf16 residuals")
-    quad = 2 * B * C * PIV / 1e9
-    add("iv", f"quad contract ({C}x{PIV})", quad, quad, "fast bf16 1-pass")
-    linear = 2 * B * C * IV * D / 1e9
-    add("iv", "linear (cid,bcd->bi)", linear, linear, "fast bf16")
+    loglike = 2 * B * T * F * K / 1e9
+    add("iv", f"GMM loglike ({F}x{K})", loglike, loglike,
+        "fast bf16 1-pass; THE dominant matmul" + sel_note)
+    if K != C:
+        sel_pass = (2 * B * T * F * C + 6 * B * T * C) / 1e9
+        add("iv", f"topK selection pass (/{topk_amortize_iters} iters)",
+            sel_pass / topk_amortize_iters, 0.0,
+            "one full-C loglike+softmax per run, amortized")
+    stats = (2 * B * T * K * D) / 1e9
+    softmax = 6 * B * T * K / 1e9
+    add("iv", "softmax+stats (btk,btd->bkd)", stats + softmax,
+        2 * stats + softmax, "fused custom VJP, bf16 residuals" + sel_note)
+    quad = 2 * B * K * PIV / 1e9
+    add("iv", f"quad contract ({K}x{PIV})", quad, quad,
+        "fast bf16 1-pass" + sel_note)
+    linear = 2 * B * K * IV * D / 1e9
+    add("iv", "linear (kid,bkd->bi)", linear, linear, "fast bf16" + sel_note)
     chol = B * IV ** 3 / 3 / 1e9
     add("iv", f"cholesky ({IV}^3/3)", chol, 0.0,
         "Pallas R^T R; bwd reuses factor")
