@@ -342,3 +342,62 @@ def test_stoi_certified_against_package(golden):
         want = pystoi.stoi(ref, deg, 16000, extended=False)
         got = STOI(ref, deg, fs=16000)
         assert abs(got - want) < 0.02, (name, got, want)
+
+
+def test_pesq_bad_interval_redecode_rescues_inner_shift(golden):
+    """Bad-interval re-decoding (r5, P.862 §10.2.5 structure): a delay
+    change WITHIN one utterance — which per-utterance alignment cannot fix,
+    it picks ONE delay per utterance — is re-aligned locally and rescored.
+    The re-decoded score must beat the no-redecode score materially, and
+    zero-delay perturbation pairs must be bit-identical either way."""
+    from speakerguard_tpu.metrics.pesq_native import (
+        pesq_wb as _pesq, _split_utterances, _input_filter, _level_align)
+    ref = np.asarray(golden["ref"], np.float64)
+
+    # mid-utterance codec slip: 1000 samples (62 ms) over an 8000-sample
+    # span inside utterance 1
+    utts = _split_utterances(_input_filter(_level_align(ref * 32768.0)))
+    s, e = utts[0]
+    mid = (s + e) // 2
+    inner = ref.copy()
+    inner[mid:mid + 8000] = ref[mid - 1000:mid + 8000 - 1000]
+
+    on = _pesq(ref, inner)
+    off = _pesq(ref, inner, bad_interval_redecode=False)
+    assert on - off > 0.2, (on, off)
+
+    # no-op on zero-delay pairs (the adversarial-perturbation case)
+    for name in golden["names"]:
+        deg = golden[f"deg_{name}"]
+        assert _pesq(ref, deg) == _pesq(ref, deg,
+                                        bad_interval_redecode=False), name
+
+
+def test_pesq_alignment_absorbs_time_varying_warp(golden):
+    """Codec-like TIME-VARYING delay (smooth 0 -> 300-sample drift across
+    the whole signal — no constant-shift splice can model it): utterance
+    splitting + per-utterance fine alignment must absorb nearly all of it.
+    An unaligned scoring of the same pair (alignment machinery bypassed)
+    reads catastrophically worse, pinning that the score comes from the
+    aligner and not from leniency of the disturbance model."""
+    import speakerguard_tpu.metrics.pesq_native as P
+    ref = np.asarray(golden["ref"], np.float64)
+    n = len(ref)
+    drift = np.linspace(0.0, 300.0, n)
+    warped = np.interp(np.arange(n) - drift, np.arange(n), ref)
+
+    aligned_score = P.pesq_wb(ref, warped)
+    assert aligned_score > 4.0, aligned_score
+
+    # bypass crude/utterance alignment: raw frame disturbances of the
+    # unaligned pair through the same model + mapping
+    r = P._input_filter(P._level_align(ref * 32768.0))
+    d = P._input_filter(P._level_align(warped * 32768.0))
+    pr, pd = P._pitch_power_densities(r), P._pitch_power_densities(d)
+    t = min(len(pr), len(pd))
+    fd, fda = P._frame_disturbances(pr[:t], pd[:t])
+    raw = 4.5 - 0.1 * P._lpq_time(fd) - 0.0309 * P._lpq_time(fda)
+    unaligned_score = float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw
+                                                        + 3.8224)))
+    assert aligned_score - unaligned_score > 0.5, (aligned_score,
+                                                   unaligned_score)
