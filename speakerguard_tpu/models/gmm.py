@@ -472,8 +472,8 @@ _softmax_stats_fast.defvjp(_softmax_stats_fast_fwd, _softmax_stats_fast_bwd)
 # the selection also cuts the i-vector quad-contract and linear-term
 # matmuls (the #2/#3 FLOP consumers) by the same C/K factor.
 #
-# SG_GMM_TOPK=K sets the component count (0 disables; default 512 — chip-
-# A/B'd r5: see ARCHITECTURE.md).  Attack runners build the context once
+# SG_GMM_TOPK=K sets the component count (0 disables; default 256 — chip-
+# A/B'd r5: see topk_k below).  Attack runners build the context once
 # per run via models.base.SRSModel.fast_context -> iv_plda.fast_context.
 
 

@@ -137,6 +137,109 @@ def _block_fast(dilation: int):
     return block
 
 
+def tdnn_bf16_act_active() -> bool:
+    """SG_TDNN_BF16_ACT routes the attack-gradient TDNN (fast=True graphs
+    only) through the bf16-ACTIVATION blocks below: activations AND their
+    cotangents flow bfloat16 between layers.  Motivation is the r5 chip
+    profiler trace (measurements/r05_xv_trace_top_ops.txt): with f32
+    activations, the three largest named non-MXU consumers in the PGD
+    while-body are standalone f32->bf16 convert fusions over the
+    (B, T', 512) gradient tensors (~26%% of the loop body) — custom_vjp
+    pins cotangent dtype to the primal's, so every layer boundary
+    round-trips f32<->bf16 through HBM.  Storing the activations bf16
+    removes the convert passes and halves conv I/O.  The final attack
+    success evaluation always re-runs the exact fast=False path
+    (attacks/gradient.py:76-90).  Default OFF pending a chip A/B."""
+    return os.environ.get("SG_TDNN_BF16_ACT", "0") == "1"
+
+
+@functools.lru_cache(maxsize=None)
+def _block_fast_bf16(dilation: int):
+    """conv -> relu -> bn with bf16 activations end-to-end (fast=True +
+    SG_TDNN_BF16_ACT): x arrives bf16, the conv accumulates f32 on the MXU,
+    the bias+relu+bn epilogue computes f32 and writes bf16, and the
+    backward's transpose-convolution takes the bf16 cotangent directly —
+    no standalone f32<->bf16 convert passes between layers (the epilogue
+    converts fuse into the convs).  Residual = relu mask + bf16 weights +
+    bn var, as in _block_fast.  Parameter cotangents are zero (attacks
+    differentiate wrt the waveform only)."""
+
+    def _fwd_math(x, w, b, mean, var):
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(jnp.bfloat16), window_strides=(1,),
+            padding="VALID", rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32) + b
+        return y
+
+    @jax.custom_vjp
+    def block(x, w, b, mean, var):
+        y = _fwd_math(x, w, b, mean, var)
+        out = (jax.nn.relu(y) - mean) * jax.lax.rsqrt(var + 1e-5)
+        return out.astype(jnp.bfloat16)
+
+    def fwd(x, w, b, mean, var):
+        y = _fwd_math(x, w, b, mean, var)
+        mask = y > 0
+        out = (jnp.where(mask, y, 0.0) - mean) * jax.lax.rsqrt(var + 1e-5)
+        return out.astype(jnp.bfloat16), (mask, w, var)
+
+    def bwd(res, g):
+        mask, w, var = res
+        s = jax.lax.rsqrt(var + 1e-5)
+        gy = jnp.where(mask, g.astype(jnp.float32) * s,
+                       0.0).astype(jnp.bfloat16)
+        k = w.shape[0]
+        pad = (k - 1) * dilation
+        wk = w[::-1].transpose(0, 2, 1)            # (k, out, in)
+        gx = jax.lax.conv_general_dilated(
+            gy, wk.astype(jnp.bfloat16), window_strides=(1,),
+            padding=[(pad, pad)], rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)
+        return (gx.astype(jnp.bfloat16), jnp.zeros_like(w),
+                jnp.zeros(w.shape[2], jnp.float32),
+                jnp.zeros_like(var), jnp.zeros_like(var))
+
+    block.defvjp(fwd, bwd)
+    return block
+
+
+@jax.custom_vjp
+def _stats_pool_fast_bf16(x):
+    """mean ++ unbiased std over time for a bf16 activation tensor:
+    f32 accumulation, f32 (B, 3000) output; the residual is the bf16 x
+    itself (free — no rounding pass, unlike _stats_pool_fast's f32->bf16
+    residual convert of the ~205 MB (B, T', 1500) tensor)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1)
+    var = jnp.var(x32, axis=1, ddof=1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    return jnp.concatenate([mean, std], axis=-1)
+
+
+def _spf16_fwd(x):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1)
+    var = jnp.var(x32, axis=1, ddof=1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    return (jnp.concatenate([mean, std], axis=-1),
+            (x, mean, std, x.shape[1]))
+
+
+def _spf16_bwd(res, g):
+    x16, mean, std, t = res
+    c = mean.shape[-1]
+    gm, gs = g[:, :c], g[:, c:]
+    centered = x16.astype(jnp.float32) - mean[:, None, :]
+    denom = jnp.maximum((t - 1) * std, 1e-12)
+    dx = gm[:, None, :] / t + gs[:, None, :] * centered / denom[:, None, :]
+    return (dx.astype(x16.dtype),)
+
+
+_stats_pool_fast_bf16.defvjp(_spf16_fwd, _spf16_bwd)
+
+
 @jax.custom_vjp
 def _stats_pool_fast(x):
     """mean ++ unbiased std over time with a bf16 residual (fast path):
@@ -181,20 +284,26 @@ def tdnn_embedding(params: TDNNParams, feats: jnp.ndarray,
     fused backward (_block_fast)."""
     x = feats
     use_fast = fast and not train and tdnn_fast_bwd_active()
+    use_bf16_act = use_fast and tdnn_bf16_act_active()
+    if use_bf16_act:
+        x = x.astype(jnp.bfloat16)
     for i, (k, dil, _) in enumerate(TDNN_SPEC):
         if use_fast:
             sg = jax.lax.stop_gradient
             bn = params.bn_tdnn[i]
-            x = _block_fast(dil)(x, sg(params.conv_w[i]),
-                                 sg(params.conv_b[i]), sg(bn.mean),
-                                 sg(bn.var))
+            blk = (_block_fast_bf16 if use_bf16_act else _block_fast)(dil)
+            x = blk(x, sg(params.conv_w[i]),
+                    sg(params.conv_b[i]), sg(bn.mean),
+                    sg(bn.var))
             continue
         x = _conv1d(x, params.conv_w[i], params.conv_b[i], dil)
         x = jax.nn.relu(x)
         x = _bn(x, params.bn_tdnn[i])
     if train and rng is not None:
         x = x + noise_eps * jax.random.normal(rng, x.shape, x.dtype)
-    if use_fast:
+    if use_bf16_act:
+        stats = _stats_pool_fast_bf16(x)                  # (B, 3000) f32
+    elif use_fast:
         stats = _stats_pool_fast(x)                       # (B, 3000)
     else:
         mean = jnp.mean(x, axis=1)

@@ -188,6 +188,70 @@ def test_pgd_success_invariant_to_tdnn_fast(rng, monkeypatch):
         assert float(jnp.max(jnp.abs(adv - x))) <= 0.002 + 1e-6
 
 
+def test_tdnn_bf16_act_blocks(rng, monkeypatch):
+    """SG_TDNN_BF16_ACT (r5, trace-driven): activations and cotangents flow
+    bfloat16 between TDNN layers.  The forward drifts at bf16 rounding
+    levels only, and the input gradient tracks the exact autodiff gradient
+    in direction and sign (what PGD's sign() steps consume)."""
+    import jax
+    from speakerguard_tpu.models.xv_plda import XvPlda, random_xv_plda_params
+
+    monkeypatch.setenv("SG_FAST", "1")
+    monkeypatch.setenv("SG_TDNN_FAST", "1")
+    model = XvPlda(random_xv_plda_params(np.random.default_rng(30)))
+    enroll = jnp.asarray(np.random.default_rng(31).standard_normal(
+        (4, 150)).astype(np.float32))
+    model.set_enrollment([str(i) for i in range(4)], enroll)
+    wavs = jnp.asarray((np.random.default_rng(32).uniform(
+        -0.3, 0.3, (2, 16000)) * 32768).astype(np.float32))
+
+    def loss(x, env):
+        monkeypatch.setenv("SG_TDNN_BF16_ACT", env)
+        return jnp.sum(model.score(x, fast=True)[:, :2])
+
+    monkeypatch.setenv("SG_TDNN_BF16_ACT", "0")
+    s_base = np.asarray(model.score(wavs, fast=True))
+    g_base = np.asarray(jax.grad(lambda x: loss(x, "0"))(wavs))
+    monkeypatch.setenv("SG_TDNN_BF16_ACT", "1")
+    s_bf16 = np.asarray(model.score(wavs, fast=True))
+    g_bf16 = np.asarray(jax.grad(lambda x: loss(x, "1"))(wavs))
+
+    # forward: bf16 activation rounding through 5 bn-normalized layers
+    spread = np.abs(s_base).max()
+    assert np.abs(s_bf16 - s_base).max() < 0.05 * max(spread, 1.0)
+    cos = (g_base * g_bf16).sum() / (np.linalg.norm(g_base)
+                                     * np.linalg.norm(g_bf16) + 1e-30)
+    assert cos > 0.95, cos
+    nz = np.abs(g_base) > np.abs(g_base).max() * 1e-3
+    assert np.mean(np.sign(g_base[nz]) == np.sign(g_bf16[nz])) > 0.9
+
+
+def test_pgd_with_bf16_act_stays_in_ball_and_exact_eval(rng, monkeypatch):
+    """End-to-end PGD with SG_TDNN_BF16_ACT: the output stays in the
+    epsilon ball and reported success is exact-model verified (the final
+    evaluation never runs the bf16-activation graph)."""
+    import jax
+    from speakerguard_tpu.models.xv_plda import XvPlda, random_xv_plda_params
+    from speakerguard_tpu.attacks import PGD
+
+    monkeypatch.setenv("SG_FAST", "1")
+    monkeypatch.setenv("SG_TDNN_FAST", "1")
+    monkeypatch.setenv("SG_TDNN_BF16_ACT", "1")
+    model = XvPlda(random_xv_plda_params(np.random.default_rng(33)))
+    enroll = jnp.asarray(np.random.default_rng(34).standard_normal(
+        (4, 150)).astype(np.float32))
+    model.set_enrollment([str(i) for i in range(4)], enroll)
+    x = jnp.asarray(np.random.default_rng(35).uniform(
+        -0.3, 0.3, (3, 16000)).astype(np.float32))
+    y, _ = model.make_decision(x)
+    adver, success = PGD(model, task="CSI", epsilon=0.002, step_size=0.0005,
+                         max_iter=4).attack(x, y, rng=jax.random.PRNGKey(3))
+    assert float(jnp.max(jnp.abs(adver - x))) <= 0.002 + 1e-6
+    d, _ = model.make_decision(adver)
+    assert [bool(int(di) != int(yi)) for di, yi in
+            zip(np.asarray(d), np.asarray(y))] == list(success)
+
+
 def test_cw2_fast_mode_verified_success(rng, monkeypatch):
     """SG_CW2_FAST: the inner loop scores through the bf16 fast path; the
     returned audio is exact-model re-verified, so every reported success
