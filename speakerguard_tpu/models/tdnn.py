@@ -149,8 +149,17 @@ def tdnn_bf16_act_active() -> bool:
     round-trips f32<->bf16 through HBM.  Storing the activations bf16
     removes the convert passes and halves conv I/O.  The final attack
     success evaluation always re-runs the exact fast=False path
-    (attacks/gradient.py:76-90).  Default OFF pending a chip A/B."""
-    return os.environ.get("SG_TDNN_BF16_ACT", "0") == "1"
+    (attacks/gradient.py:76-90).
+
+    Default ON since chip-A/B'd (2026-08-19, measurements/r05_chip_log.txt):
+    xv-PLDA PGD-100 @512 178.05 -> 192.80 utts/s (+8.3%, 48.9% of bf16
+    peak) at ASR 92.4 vs 92.2 baseline.  The win required emitting the
+    convs in bf16 (preferred_element_type=bf16) — the first attempt kept
+    f32 conv outputs and measured NEUTRAL (178.4: XLA materialized the
+    f32 (B,T',512) conv result and ran the round-to-bf16 epilogue as a
+    separate full-size fusion, so nothing changed; both traces in
+    measurements/).  SG_TDNN_BF16_ACT=0 restores f32 activations."""
+    return os.environ.get("SG_TDNN_BF16_ACT", "1") == "1"
 
 
 @functools.lru_cache(maxsize=None)
@@ -165,12 +174,18 @@ def _block_fast_bf16(dilation: int):
     differentiate wrt the waveform only)."""
 
     def _fwd_math(x, w, b, mean, var):
+        # preferred_element_type=bf16: the MXU accumulates f32 internally
+        # and rounds ONCE at the conv output — requesting f32 out instead
+        # materializes the full (B, T', 512) tensor f32 and leaves the
+        # bias+relu+bn+round epilogue as a separate f32-read fusion (the
+        # r5 trace showed those fusions unchanged and the A/B neutral
+        # until this output-dtype fix)
         y = jax.lax.conv_general_dilated(
             x, w.astype(jnp.bfloat16), window_strides=(1,),
             padding="VALID", rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32) + b
-        return y
+            preferred_element_type=jnp.bfloat16)
+        return y.astype(jnp.float32) + b
 
     @jax.custom_vjp
     def block(x, w, b, mean, var):
@@ -196,7 +211,7 @@ def _block_fast_bf16(dilation: int):
             gy, wk.astype(jnp.bfloat16), window_strides=(1,),
             padding=[(pad, pad)], rhs_dilation=(dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.bfloat16)
         return (gx.astype(jnp.bfloat16), jnp.zeros_like(w),
                 jnp.zeros(w.shape[2], jnp.float32),
                 jnp.zeros_like(var), jnp.zeros_like(var))

@@ -132,6 +132,8 @@ def test_tdnn_fast_backward_blocks(rng, monkeypatch):
     from speakerguard_tpu.models.xv_plda import XvPlda, random_xv_plda_params
 
     monkeypatch.setenv("SG_FAST", "1")
+    # isolate the f32-activation fast blocks (bf16-act has its own tests)
+    monkeypatch.setenv("SG_TDNN_BF16_ACT", "0")
     model = XvPlda(random_xv_plda_params(np.random.default_rng(5)))
     enroll = jnp.asarray(
         np.random.default_rng(6).standard_normal((4, 150)).astype(np.float32))
@@ -167,6 +169,8 @@ def test_pgd_success_invariant_to_tdnn_fast(rng, monkeypatch):
     from speakerguard_tpu.attacks import PGD
 
     monkeypatch.setenv("SG_FAST", "1")
+    # isolate the SG_TDNN_FAST 0-vs-1 comparison from bf16-act drift
+    monkeypatch.setenv("SG_TDNN_BF16_ACT", "0")
     model = XvPlda(random_xv_plda_params(np.random.default_rng(8)))
     enroll = jnp.asarray(
         np.random.default_rng(9).standard_normal((4, 150)).astype(np.float32))
@@ -261,6 +265,8 @@ def test_cw2_fast_mode_verified_success(rng, monkeypatch):
     from speakerguard_tpu.attacks import CW2
 
     monkeypatch.setenv("SG_FAST", "1")
+    # pin f32 activations so the CW2_FAST 0-vs-1 outcomes stay comparable
+    monkeypatch.setenv("SG_TDNN_BF16_ACT", "0")
     model = XvPlda(random_xv_plda_params(np.random.default_rng(11)))
     enroll = jnp.asarray(np.random.default_rng(12).standard_normal(
         (4, 150)).astype(np.float32))
