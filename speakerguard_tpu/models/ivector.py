@@ -174,7 +174,7 @@ def _solve_kind() -> str:
     return "upper" if _use_pallas_chol() else "lower"
 
 
-def _make_spd_solve(kind: str, fast: bool = False):
+def _make_spd_solve(kind: str, fast: bool = False, bf16_l: bool = False):
     """Build the custom-VJP SPD solve for one factorization strategy.
 
     The IFT backward (grad_rhs = A^-1 g; grad_A = -outer(grad_rhs, x))
@@ -186,8 +186,14 @@ def _make_spd_solve(kind: str, fast: bool = False):
     (kind is captured statically), so a SG_CHOL_PALLAS flip between the
     forward and backward trace can't mis-orient the triangular solves."""
     lower = kind == "lower"
+    # bf16_l: the L matrix arrives bfloat16 (SG_IVEC_L_BF16 fast path) —
+    # the factorization runs f32 (the convert fuses into the kernel's pad
+    # fusion, one read of the half-size L) and the A-cotangent is emitted
+    # bf16 to match the primal.
+    l_dtype = jnp.bfloat16 if bf16_l else jnp.float32
 
     def impl(l_mat, rhs):
+        l_mat = l_mat.astype(jnp.float32)
         if kind == "fused":
             from speakerguard_tpu.ops.pallas_chol import chol_solve
             interpret = jax.default_backend() != "tpu"
@@ -209,24 +215,25 @@ def _make_spd_solve(kind: str, fast: bool = False):
         def bwd(res, g):
             l_mat, x = res
             u = impl(l_mat, g)
-            return -jnp.einsum("bi,bj->bij", u, x), u
+            return (-jnp.einsum("bi,bj->bij", u, x).astype(l_dtype), u)
     else:
         def fwd(l_mat, rhs):
-            factor, _ = _chol_factor(l_mat, fast=fast)
+            factor, _ = _chol_factor(l_mat.astype(jnp.float32), fast=fast)
             x = _chol_apply(factor, lower, rhs)
             return x, (factor, x)
 
         def bwd(res, g):
             factor, x = res
             u = _chol_apply(factor, lower, g)
-            return -jnp.einsum("bi,bj->bij", u, x), u
+            return (-jnp.einsum("bi,bj->bij", u, x).astype(l_dtype), u)
 
     solve.defvjp(fwd, bwd)
     return solve
 
 
-_SPD_SOLVES = {(k, f): _make_spd_solve(k, f)
-               for k in ("lower", "upper", "fused") for f in (False, True)}
+_SPD_SOLVES = {(k, f, b16): _make_spd_solve(k, f, b16)
+               for k in ("lower", "upper", "fused") for f in (False, True)
+               for b16 in (False, True)}
 
 
 def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray,
@@ -239,8 +246,11 @@ def spd_solve(l_mat: jnp.ndarray, rhs: jnp.ndarray,
     and run than autodiff of cholesky on TPU — and the backward reuses
     the forward's factor (see _make_spd_solve).  fast=True (the attack-
     gradient path) selects bf16 trailing updates inside the Pallas
-    factorization by default — see _chol_factor."""
-    return _SPD_SOLVES[(_solve_kind(), fast)](l_mat, rhs)
+    factorization by default — see _chol_factor.  A bfloat16 l_mat
+    (SG_IVEC_L_BF16 fast path) factorizes in f32 and receives a bf16
+    A-cotangent (see _make_spd_solve)."""
+    return _SPD_SOLVES[(_solve_kind(), fast,
+                        l_mat.dtype == jnp.bfloat16)](l_mat, rhs)
 
 
 import functools
@@ -274,7 +284,8 @@ def _sym_unpack(iv: int):
     def bwd(_, cot):
         up = cot[:, jnp.asarray(rows), jnp.asarray(cols)]
         lo = cot[:, jnp.asarray(cols), jnp.asarray(rows)]
-        return (up + lo * jnp.asarray(offdiag),)
+        # keep the packed cotangent in the primal's dtype (bf16 L path)
+        return ((up + lo * jnp.asarray(offdiag)).astype(cot.dtype),)
 
     unpack.defvjp(fwd, bwd)
     return unpack
@@ -331,6 +342,60 @@ def _qcf_bwd(quad_packed_bf16, cot):
 _quad_contract_fast.defvjp(_qcf_fwd, _qcf_bwd)
 
 
+def ivec_l_bf16_active() -> bool:
+    """SG_IVEC_L_BF16 materializes the i-vector posterior-precision matrix
+    L = I + sum_c z_c quad_c in bfloat16 on the attack-gradient path: the
+    r5 iv trace (measurements/r05_iv_trace_top_ops.txt) shows ~15 ms/iter
+    of the PGD while-body is L-assembly traffic — the packed quad matmul
+    output, the pack<->full gather/unpack passes, the pad-to-640 relayout,
+    and the backward outer-product cotangent are all full passes over a
+    737 MB f32 (512, 600, 600) tensor family.  bf16 halves every one of
+    them (the xv lesson applies: the matmul EMITS bf16, nothing converts
+    after the fact).  The factorization itself stays f32: the Pallas
+    kernel reads the bf16 L through a convert fused into its pad fusion,
+    and its panel sweeps keep f32 pivots (bf16 trailing updates were
+    already the fast-path default, factor rel err ~1e-3, sign()-consumed
+    gradients).  Exact scoring path untouched."""
+    import os
+    return os.environ.get("SG_IVEC_L_BF16", "0") == "1"
+
+
+@jax.custom_vjp
+def _quad_contract_fast16(zeroth, quad_packed_bf16):
+    """_quad_contract_fast emitting the packed L in bfloat16 (see
+    ivec_l_bf16_active): f32 accumulation on the MXU, one rounding at the
+    output — the (B, IV(IV+1)/2) result is written bf16 so every
+    downstream assembly pass reads/writes half the bytes."""
+    from speakerguard_tpu.models.gmm import fast_dot_dtype
+    dt = fast_dot_dtype()
+    if dt == jnp.bfloat16:
+        return jnp.einsum("bc,cp->bp", zeroth.astype(dt),
+                          quad_packed_bf16.astype(dt),
+                          preferred_element_type=jnp.bfloat16)
+    # off-TPU (f32 operands): accumulate f32, round at the output — the
+    # astype fuses; same value class as the TPU path
+    return jnp.einsum("bc,cp->bp", zeroth, quad_packed_bf16.astype(dt),
+                      preferred_element_type=jnp.float32
+                      ).astype(jnp.bfloat16)
+
+
+def _qcf16_fwd(zeroth, quad_packed_bf16):
+    return _quad_contract_fast16(zeroth, quad_packed_bf16), quad_packed_bf16
+
+
+def _qcf16_bwd(quad_packed_bf16, cot):
+    from speakerguard_tpu.models.gmm import fast_dot_dtype
+    dt = fast_dot_dtype()
+    # cot arrives bf16; zeroth's cotangent must be f32 (the primal dtype)
+    gz = jnp.einsum("bp,cp->bc", cot.astype(dt),
+                    quad_packed_bf16.astype(dt),
+                    preferred_element_type=jnp.float32)
+    return gz, jnp.zeros_like(quad_packed_bf16)
+
+
+_quad_contract_fast16.defvjp(_qcf16_fwd, _qcf16_bwd)
+
+
 class IvectorTopK(NamedTuple):
     """Extractor tensors sliced to a frozen shared component selection
     (gmm.GmmTopKContext.sel) for one attack run: the i-vector quad
@@ -375,7 +440,9 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
         from speakerguard_tpu.models.gmm import fast_dot_dtype
         dt = fast_dot_dtype()
         sg = jax.lax.stop_gradient
-        l_packed = _quad_contract_fast(zeroth, sg(topk.quad_sel))
+        qc = (_quad_contract_fast16 if ivec_l_bf16_active()
+              else _quad_contract_fast)
+        l_packed = qc(zeroth, sg(topk.quad_sel))
         linear = jnp.einsum("kid,bkd->bi",
                             sg(topk.proj_sel).astype(dt),
                             first.astype(dt),
@@ -384,7 +451,9 @@ def extract_ivectors(params: IvectorExtractorParams, zeroth: jnp.ndarray,
         from speakerguard_tpu.models.gmm import fast_dot_dtype
         dt = fast_dot_dtype()
         sg = jax.lax.stop_gradient
-        l_packed = _quad_contract_fast(zeroth, sg(_fast_quad(params)))
+        qc = (_quad_contract_fast16 if ivec_l_bf16_active()
+              else _quad_contract_fast)
+        l_packed = qc(zeroth, sg(_fast_quad(params)))
         linear = jnp.einsum("cid,bcd->bi",
                             sg(_fast_proj(params)).astype(dt),
                             first.astype(dt),

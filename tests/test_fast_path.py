@@ -192,6 +192,53 @@ def test_pgd_success_invariant_to_tdnn_fast(rng, monkeypatch):
         assert float(jnp.max(jnp.abs(adv - x))) <= 0.002 + 1e-6
 
 
+def test_ivec_l_bf16_scores_and_grads_track(small_iv, monkeypatch):
+    """SG_IVEC_L_BF16 (r5, iv-trace-driven): the posterior-precision
+    matrix L materializes bfloat16 on the fast path; the f32-factorized
+    solve keeps scores close and the waveform gradient tracks the f32-L
+    fast path in direction and sign."""
+    model, wavs = small_iv
+    monkeypatch.setenv("SG_FAST", "1")
+
+    def loss(x, env):
+        monkeypatch.setenv("SG_IVEC_L_BF16", env)
+        return jnp.sum(model.score(x, fast=True)[:, :2])
+
+    monkeypatch.setenv("SG_IVEC_L_BF16", "0")
+    s_base = np.asarray(model.score(wavs, fast=True))
+    g_base = np.asarray(jax.grad(lambda x: loss(x, "0"))(wavs))
+    monkeypatch.setenv("SG_IVEC_L_BF16", "1")
+    s_bf16 = np.asarray(model.score(wavs, fast=True))
+    g_bf16 = np.asarray(jax.grad(lambda x: loss(x, "1"))(wavs))
+
+    spread = np.abs(s_base).max()
+    assert np.abs(s_bf16 - s_base).max() < 0.05 * max(spread, 1.0)
+    cos = (g_base * g_bf16).sum() / (np.linalg.norm(g_base)
+                                     * np.linalg.norm(g_bf16) + 1e-30)
+    assert cos > 0.95, cos
+    nz = np.abs(g_base) > np.abs(g_base).max() * 1e-3
+    assert np.mean(np.sign(g_base[nz]) == np.sign(g_bf16[nz])) > 0.9
+
+
+def test_pgd_with_ivec_l_bf16_stays_in_ball_and_exact_eval(small_iv,
+                                                           monkeypatch):
+    """End-to-end PGD with SG_IVEC_L_BF16 (+ top-K, the shipping combo):
+    epsilon ball holds and reported success is exact-model verified."""
+    from speakerguard_tpu.attacks import PGD
+    monkeypatch.setenv("SG_FAST", "1")
+    monkeypatch.setenv("SG_IVEC_L_BF16", "1")
+    monkeypatch.setenv("SG_GMM_TOPK", "64")
+    model, wavs = small_iv
+    x = wavs / (2.0 ** 15)
+    y, _ = model.make_decision(x)
+    atk = PGD(model, task="CSI", epsilon=0.01, step_size=0.002, max_iter=3)
+    adver, success = atk.attack(x, y, rng=jax.random.PRNGKey(0))
+    assert float(jnp.max(jnp.abs(adver - x))) <= 0.01 + 1e-6
+    d, _ = model.make_decision(adver)
+    assert [bool(int(di) != int(yi)) for di, yi in
+            zip(np.asarray(d), np.asarray(y))] == list(success)
+
+
 def test_tdnn_bf16_act_blocks(rng, monkeypatch):
     """SG_TDNN_BF16_ACT (r5, trace-driven): activations and cotangents flow
     bfloat16 between TDNN layers.  The forward drifts at bf16 rounding
