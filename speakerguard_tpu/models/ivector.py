@@ -355,9 +355,14 @@ def ivec_l_bf16_active() -> bool:
     kernel reads the bf16 L through a convert fused into its pad fusion,
     and its panel sweeps keep f32 pivots (bf16 trailing updates were
     already the fast-path default, factor rel err ~1e-3, sign()-consumed
-    gradients).  Exact scoring path untouched."""
+    gradients).  Exact scoring path untouched.
+
+    Default ON since chip-A/B'd (2026-08-19, measurements/r05_chip_log.txt):
+    iv-PLDA PGD-100 @512 topk256 69.14 -> 73.14 utts/s (+5.8%) at ASR
+    exactly 100.0 — beats the K=128 selection's 71.7 without its ASR
+    loss.  SG_IVEC_L_BF16=0 restores the f32 L."""
     import os
-    return os.environ.get("SG_IVEC_L_BF16", "0") == "1"
+    return os.environ.get("SG_IVEC_L_BF16", "1") == "1"
 
 
 @jax.custom_vjp
