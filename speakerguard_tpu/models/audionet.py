@@ -186,6 +186,21 @@ def load_audionet_from_torch_state(state: dict
     return params, bstate
 
 
+def audionet_bf16_active() -> bool:
+    """SG_AUDIONET_BF16: bf16 params+activations through the AudioNet CNN
+    in attack-gradient graphs only (see AudioNet._embedding_from_top).
+    Gradients feed sign() steps and the reported success is always
+    exact-path verified.
+
+    Default ON since chip-A/B'd (2026-08-19, measurements/r05_chip_log.txt):
+    PGD-100 @512 229.7 -> 237.5 utts/s (+3.4%) at identical ASR 88.5 —
+    the smaller multiplier vs xv's +8.3% reflects AudioNet being
+    frontend/elementwise-dominated (channels 32-128 vs the TDNN's 512).
+    SG_AUDIONET_BF16=0 restores the f32 CNN."""
+    import os
+    return os.environ.get("SG_AUDIONET_BF16", "1") == "1"
+
+
 def parse_label_encoder(path: str):
     """Reference label-encoder txt: rows of 'spk_id' label
     (audionet_csine.py:37-48).  Returns ordered spk_ids list."""
@@ -233,7 +248,27 @@ class AudioNet(SRSModel):
 
     def _embedding_from_top(self, feats, p=None, fast=False,
                             fast_ctx=None):
+        from speakerguard_tpu.models.base import fast_active
         net, state = p if p is not None else (self.net_params, self.state)
+        if fast and fast_active() and audionet_bf16_active():
+            # bf16 CNN for attack-gradient graphs (r5, the xv/iv lesson
+            # applied): cast params + features bf16 and let the whole
+            # conv/bn/relu/maxpool chain — and therefore autodiff's
+            # residuals AND cotangents — flow bf16 (the MXU accumulates
+            # f32 internally and rounds once per conv).  No custom_vjp
+            # needed: bf16 activations make autodiff's saved tensors
+            # half-width by construction.  The final attack success
+            # evaluation stays on the exact f32 path (attacks/
+            # gradient.py:76-90).
+            sg = jax.lax.stop_gradient
+            cast = lambda a: sg(a.astype(jnp.bfloat16)  # noqa: E731
+                                if a.dtype == jnp.float32 else a)
+            net16 = jax.tree.map(cast, net)
+            state16 = jax.tree.map(cast, state)
+            emb, _ = audionet_embedding(net16, state16,
+                                        feats.astype(jnp.bfloat16),
+                                        train=False)
+            return emb.astype(jnp.float32)
         emb, _ = audionet_embedding(net, state, feats, train=False)
         return emb
 

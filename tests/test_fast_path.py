@@ -337,6 +337,83 @@ def test_cw2_fast_mode_verified_success(rng, monkeypatch):
             assert int(dec[i]) != int(y[i])
 
 
+def test_audionet_bf16_scores_grads_and_pgd(rng, monkeypatch):
+    """SG_AUDIONET_BF16 (r5): the attack-gradient CNN runs bf16 params +
+    activations; scores drift at bf16 levels, the waveform gradient tracks
+    the f32 fast path, and end-to-end PGD stays in-ball with exact-model
+    verified success."""
+    import jax
+    from speakerguard_tpu.models.audionet import AudioNet, init_audionet
+    from speakerguard_tpu.attacks import PGD
+
+    params, state = init_audionet(np.random.default_rng(40), num_class=6)
+    m = AudioNet(params, state)
+    wavs = jnp.asarray(np.random.default_rng(41).uniform(
+        -0.4, 0.4, (3, 8000)).astype(np.float32))
+    monkeypatch.setenv("SG_FAST", "1")
+
+    def loss(x, env):
+        monkeypatch.setenv("SG_AUDIONET_BF16", env)
+        return jnp.sum(m.score(x, fast=True)[:, :2])
+
+    monkeypatch.setenv("SG_AUDIONET_BF16", "0")
+    s_base = np.asarray(m.score(wavs, fast=True))
+    g_base = np.asarray(jax.grad(lambda x: loss(x, "0"))(wavs))
+    monkeypatch.setenv("SG_AUDIONET_BF16", "1")
+    s_bf16 = np.asarray(m.score(wavs, fast=True))
+    g_bf16 = np.asarray(jax.grad(lambda x: loss(x, "1"))(wavs))
+
+    spread = np.abs(s_base).max()
+    assert np.abs(s_bf16 - s_base).max() < 0.08 * max(spread, 1.0)
+    cos = (g_base * g_bf16).sum() / (np.linalg.norm(g_base)
+                                     * np.linalg.norm(g_bf16) + 1e-30)
+    assert cos > 0.9, cos
+
+    y, _ = m.make_decision(wavs)
+    adver, success = PGD(m, task="CSI", epsilon=0.005, step_size=0.001,
+                         max_iter=3).attack(wavs, y, rng=jax.random.PRNGKey(5))
+    assert float(jnp.max(jnp.abs(adver - wavs))) <= 0.005 + 1e-6
+    d, _ = m.make_decision(adver)
+    assert [bool(int(di) != int(yi)) for di, yi in
+            zip(np.asarray(d), np.asarray(y))] == list(success)
+
+
+def test_blackbox_fast_verified_success(rng, monkeypatch):
+    """SG_BLACKBOX_FAST (r5): FAKEBOB's NES samples and Siren's particle
+    evaluations run the bf16 fast forward, but the reported success vector
+    is re-verified on the exact path — for every lane it must equal the
+    exact-model decision flip on the returned waveform, and the
+    perturbation stays inside the ball."""
+    import jax
+    from speakerguard_tpu.models.audionet import AudioNet, init_audionet
+    from speakerguard_tpu.attacks import FAKEBOB, SirenAttack
+
+    params, state = init_audionet(np.random.default_rng(50), num_class=5)
+    m = AudioNet(params, state)
+    x = jnp.asarray(np.random.default_rng(51).uniform(
+        -0.4, 0.4, (3, 8000)).astype(np.float32))
+    y, _ = m.make_decision(x)
+    monkeypatch.setenv("SG_FAST", "1")
+    monkeypatch.setenv("SG_BLACKBOX_FAST", "1")
+
+    fb = FAKEBOB(m, task="CSI", epsilon=0.02, max_iter=12, max_lr=0.01,
+                 samples_per_draw=10, samples_per_draw_batch_size=10,
+                 stop_early=False)
+    adver, success = fb.attack(x, y, rng=jax.random.PRNGKey(7))
+    assert float(jnp.max(jnp.abs(adver - x))) <= 0.02 + 1e-6
+    d, _ = m.make_decision(adver)
+    assert [bool(int(di) != int(yi)) for di, yi in
+            zip(np.asarray(d), np.asarray(y))] == list(success)
+
+    sa = SirenAttack(m, task="CSI", epsilon=0.02, max_epoch=2, max_iter=5,
+                     n_particles=4, abort_early=False)
+    adver, success = sa.attack(x, y, rng=jax.random.PRNGKey(8))
+    assert float(jnp.max(jnp.abs(adver - x))) <= 0.02 + 1e-6
+    d, _ = m.make_decision(adver)
+    assert [bool(int(di) != int(yi)) for di, yi in
+            zip(np.asarray(d), np.asarray(y))] == list(success)
+
+
 def test_audionet_fast_dft_precision_knob(rng, monkeypatch):
     """AudioNet attack graphs honor SG_DFT_FAST_PRECISION like xv/iv:
     'default' changes only the fast path (exact path untouched), and the
