@@ -14,6 +14,25 @@ import jax.numpy as jnp
 from speakerguard_tpu.attacks.losses import compare
 
 
+def blackbox_fast_active() -> bool:
+    """SG_BLACKBOX_FAST: route the black-box attacks' inner scoring loops
+    (FAKEBOB's NES samples, SirenAttack's particle evaluations — thousands
+    of forward passes per utterance) through the models' bf16 fast forward
+    path (``score(fast=True)``, same graphs PGD's gradient steps use).
+
+    Composes with the master SG_FAST gate (models check ``fast_active()``
+    before honoring ``fast=True``), so off-TPU test meshes stay exact.
+    When active, both attacks re-evaluate their final candidates on the
+    exact (f32) path once, so the reported success vector is verified
+    exactly — matching the PGD/CW2 convention (attacks/gradient.py:86-90).
+
+    Opt-in (default 0) until chip-A/B'd: NES difference signals at
+    sigma=1e-3 and PSO loss ordering could in principle be degraded by
+    bf16 score noise; the A/B arbiter is ASR at matched iteration counts."""
+    import os
+    return os.environ.get("SG_BLACKBOX_FAST", "0") == "1"
+
+
 class Attack:
     targeted: bool = False
     batch_size: int = 1

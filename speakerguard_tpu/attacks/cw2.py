@@ -90,11 +90,22 @@ class CW2(Attack):
         def run(params, x, y, const, rng):
             b = x.shape[0]
             x_atanh = jnp.arctanh(x * ATANH_CLIP)
+            # per-run fast-path context (iv_plda's frozen top-K Gaussian
+            # selection, r5): computed on the clean input like PGD
+            # (gradient.py:79-85).  CW2's L2 perturbations aren't
+            # eps-ball-bounded, so the frozen selection is a looser
+            # approximation here — acceptable because the returned best
+            # audio is re-verified against the EXACT model below.
+            ctx_kw = {}
+            if self._fast:
+                ctx = model.fast_context(x, params=params)
+                if ctx is not None:
+                    ctx_kw = {"fast_ctx": ctx}
 
             def losses(modifier, key):
                 input_x = jnp.tanh(modifier + x_atanh)
                 scores = model.score(input_x, rng=key, params=params,
-                                     fast=self._fast)
+                                     fast=self._fast, **ctx_kw)
                 l1 = self._loss1(scores, y)
                 l2 = jnp.sum(jnp.square(input_x - x), axis=-1)
                 return jnp.sum(const * l1 + l2), (l1, l2, scores, input_x)

@@ -15,6 +15,12 @@ reference's `last_ls = [[]] * n_audios` aliases ONE list across the batch —
 harmless at its default batch_size=1; we implement the per-sample semantics
 the code intends.)
 
+SG_BLACKBOX_FAST routes the NES sample forwards through the models' bf16
+fast path with an exact-path final re-evaluation (see
+attacks/base.blackbox_fast_active); threshold estimation always stays on
+the exact path — its accept/exceed exits compare raw scores against
+candidate thresholds, where bf16 quantization would bias the estimate.
+
 Also implements the SV/OSI decision-threshold estimation algorithm
 (FAKEBOB.py:210-295): a host-driven loop over candidate thresholds, with the
 inner NES iteration jitted (threshold is a traced argument, so no
@@ -25,7 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from speakerguard_tpu.attacks.base import Attack, normalize_wav_input
+from speakerguard_tpu.attacks.base import (Attack, blackbox_fast_active,
+                                           normalize_wav_input)
 from speakerguard_tpu.attacks.losses import margin_loss
 from speakerguard_tpu.adaptive.eot import eot_no_grad
 from speakerguard_tpu.adaptive.nes import nes_grad
@@ -79,10 +86,13 @@ class FAKEBOB(Attack):
                                threshold=threshold, clip_max=False)
         return fn
 
-    def _nes_step(self, x, y, threshold, key, params=None):
-        """One NES gradient estimate.  threshold: traced scalar."""
+    def _nes_step(self, x, y, threshold, key, params=None, score_kw=None):
+        """One NES gradient estimate.  threshold: traced scalar.
+        score_kw: extra model.score kwargs — the attack loop passes
+        ``fast=True`` (+ per-run fast_ctx) under SG_BLACKBOX_FAST."""
+        score_kw = score_kw or {}
         score_fn = lambda xx, kk: self.model.score(  # noqa: E731
-            xx, rng=kk, params=params)
+            xx, rng=kk, params=params, **score_kw)
         eot_fn = eot_no_grad(score_fn, self._loss_fn(threshold),
                              self.model.threshold)
         nkey, ekey = jax.random.split(key)
@@ -99,9 +109,22 @@ class FAKEBOB(Attack):
         plateau_drop, min_lr = self.plateau_drop, self.min_lr
         max_iter, stop_early = self.max_iter, self.stop_early
         stop_early_iter, grad_sign = self.stop_early_iter, self.grad_sign
+        use_fast = blackbox_fast_active()
+        model = self.model
 
         def run(params, x0, y, lower, upper, threshold, rng):
             b, length = x0.shape
+            # SG_BLACKBOX_FAST: the ~max_iter × samples_per_draw NES
+            # forwards run the model's bf16 fast path (same graphs as
+            # PGD's gradient steps); the fast_ctx (e.g. iv_plda's frozen
+            # top-K Gaussian selection) is computed ONCE on the clean
+            # input, valid inside the epsilon-ball like in PGD
+            # (attacks/gradient.py:79-85).
+            score_kw = {}
+            if use_fast:
+                ctx = model.fast_context(x0, params=params)
+                score_kw = (dict(fast=True) if ctx is None
+                            else dict(fast=True, fast_ctx=ctx))
 
             def cond(c):
                 return jnp.logical_and(c["it"] <= max_iter,
@@ -110,7 +133,8 @@ class FAKEBOB(Attack):
             def body(c):
                 key = jax.random.fold_in(rng, c["it"])
                 loss, grad, adver_loss, _, y_pred = self._nes_step(
-                    c["x"], y, threshold, key, params=params)
+                    c["x"], y, threshold, key, params=params,
+                    score_kw=score_kw)
 
                 # `valid` gate: scan chunks may overshoot past max_iter —
                 # those iterations must be exact no-ops
@@ -181,7 +205,19 @@ class FAKEBOB(Attack):
                 return out
 
             final = jax.lax.while_loop(cond, chunk_body, init)
-            return final["best_x"], final["best_loss"]
+            best_x, best_loss = final["best_x"], final["best_loss"]
+            if use_fast:
+                # verified success: one exact-path re-evaluation of the
+                # returned candidates, so the success vector reported to
+                # the caller never depends on bf16 loss values (the
+                # PGD/CW2 convention, attacks/gradient.py:86-90)
+                exact = eot_no_grad(
+                    lambda xx, kk: model.score(xx, rng=kk, params=params),
+                    self._loss_fn(threshold), model.threshold)
+                ekeys = jax.random.split(jax.random.fold_in(rng, 0x5eed),
+                                         self.EOT_size)
+                _, best_loss, _ = exact(best_x, y, ekeys)
+            return best_x, best_loss
 
         return run
 
@@ -209,11 +245,14 @@ class FAKEBOB(Attack):
         lower = jnp.clip(x - self.epsilon, -1.0)
         upper = jnp.clip(x + self.epsilon, None, 1.0)
 
-        if "run" not in self._run_cache:
-            self._run_cache["run"] = jax.jit(self._make_run())
+        # cache key includes the knob: _make_run bakes use_fast in at
+        # build time, so a toggled env var must not reuse a stale closure
+        run_key = f"run_fast{int(blackbox_fast_active())}"
+        if run_key not in self._run_cache:
+            self._run_cache[run_key] = jax.jit(self._make_run())
         thr = jnp.asarray(self.threshold if self.threshold is not None
                           else 0.0, jnp.float32)
-        best_x, best_loss = self._run_cache["run"](
+        best_x, best_loss = self._run_cache[run_key](
             params, x, y, lower, upper, thr, rng)
         success = (np.asarray(best_loss) < 0).tolist()
         return best_x, success

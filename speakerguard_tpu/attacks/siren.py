@@ -10,13 +10,18 @@ best particle (:66-79) happens between compiled epochs.
 PSO dynamics preserved: inertia annealed w, c1/c2 cognitive/social terms
 with fresh uniform r1/r2 each iteration, velocity bounds +-|upper-lower|,
 two-level early abort (:138-144, :176-181).
+
+SG_BLACKBOX_FAST routes the particle evaluations through the models' bf16
+fast path with an exact-path final re-evaluation of the returned
+candidates (see attacks/base.blackbox_fast_active).
 """
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from speakerguard_tpu.attacks.base import Attack, normalize_wav_input
+from speakerguard_tpu.attacks.base import (Attack, blackbox_fast_active,
+                                           normalize_wav_input)
 from speakerguard_tpu.attacks.losses import margin_loss, majority_vote
 from speakerguard_tpu.adaptive.eot import eot_no_grad
 
@@ -51,7 +56,8 @@ class SirenAttack(Attack):
         self.abort_early = abort_early
         self.abort_early_iter = abort_early_iter
         self.abort_early_epoch = abort_early_epoch
-        self._epoch_fn = None
+        self._epoch_fn = {}  # keyed by the SG_BLACKBOX_FAST knob
+        self._exact_eval = None
 
     def _loss_fn(self):
         def fn(scores, label):
@@ -66,11 +72,21 @@ class SirenAttack(Attack):
         c1, c2 = self.c1, self.c2
         w_init, w_end, max_iter = self.w_init, self.w_end, self.max_iter
         abort_early, abort_iter = self.abort_early, self.abort_early_iter
+        use_fast = blackbox_fast_active()
 
         def epoch(params, x, y, lower, upper, pbest_locations, pbests,
                   gbest_loc, gbests, gbest_pred, active, rng):
+            # SG_BLACKBOX_FAST: the B×P particle evaluations per iteration
+            # run the model's bf16 fast forward (fast_ctx from the clean
+            # input, valid inside the distortion ball); the final success
+            # vector is re-verified on the exact path in _attack_whole
+            score_kw = {}
+            if use_fast:
+                ctx = self.model.fast_context(x, params=params)
+                score_kw = (dict(fast=True) if ctx is None
+                            else dict(fast=True, fast_ctx=ctx))
             score_fn = lambda xx, kk: self.model.score(  # noqa: E731
-                xx, rng=kk, params=params)
+                xx, rng=kk, params=params, **score_kw)
             eot_fn = eot_no_grad(score_fn, self._loss_fn(),
                                  self.model.threshold)
             b, length = x.shape
@@ -182,8 +198,10 @@ class SirenAttack(Attack):
         lower = jnp.clip(-1.0 - x, -self.epsilon)
         upper = jnp.clip(1.0 - x, None, self.epsilon)
 
-        if self._epoch_fn is None:
-            self._epoch_fn = jax.jit(self._make_epoch())
+        fast_key = int(blackbox_fast_active())
+        if fast_key not in self._epoch_fn:
+            self._epoch_fn[fast_key] = jax.jit(self._make_epoch())
+        epoch_fn = self._epoch_fn[fast_key]
 
         gbest_loc = jnp.zeros((b, length), x.dtype)
         gbests = jnp.full((b,), jnp.inf, jnp.float32)
@@ -213,7 +231,7 @@ class SirenAttack(Attack):
                     axis=1)
 
             (pbest_locations, pbests, gbest_loc, gbests, gbest_pred,
-             active) = self._epoch_fn(params, x, y, lower, upper,
+             active) = epoch_fn(params, x, y, lower, upper,
                                       pbest_locations, pbests, gbest_loc,
                                       gbests, gbest_pred, active, ekey2)
 
@@ -228,5 +246,22 @@ class SirenAttack(Attack):
                 print(f"siren epoch {epoch}: gbests="
                       f"{np.asarray(gbests).tolist()}")
 
+        adver_x = gbest_loc + x
+        if blackbox_fast_active():
+            # verified success: the loop's gbests are bf16 fast-path
+            # losses under SG_BLACKBOX_FAST — re-evaluate the returned
+            # candidates once on the exact path (PGD/CW2 convention)
+            if self._exact_eval is None:
+                def exact_loss(params, ax, y, keys):
+                    fn = eot_no_grad(
+                        lambda xx, kk: self.model.score(xx, rng=kk,
+                                                        params=params),
+                        self._loss_fn(), self.model.threshold)
+                    _, loss, _ = fn(ax, y, keys)
+                    return loss
+                self._exact_eval = jax.jit(exact_loss)
+            ekeys = jax.random.split(jax.random.fold_in(rng, 0x5eed),
+                                     self.EOT_size)
+            gbests = self._exact_eval(params, adver_x, y, ekeys)
         success = (np.asarray(gbests) < 0).tolist()
-        return gbest_loc + x, success
+        return adver_x, success
