@@ -392,6 +392,39 @@ def main():
             result["pct_peak_bf16_197t"] = round(100 * gf / it_ms / 197, 1)
         except Exception:
             pass  # MFU companion is best-effort; never break the bench line
+    elif attack_kind in ("fakebob", "siren") and not defense_tag:
+        # forward-only MFU companion for the black-box rows: one NES
+        # iteration = (samples_per_draw + 1) x batch forward passes (the
+        # unperturbed point is prepended, adaptive/nes.py:41-43); one PSO
+        # iteration = n_particles x batch forwards.  Honest under
+        # SG_BLACKBOX_FAST + top-K: count K-subspace forward FLOPs only
+        # when the fast forwards actually run the selected subspace.
+        try:
+            from tools.flops import gflops_table
+            from speakerguard_tpu.attacks.base import blackbox_fast_active
+            want = {"iv_plda": "iv", "xv_plda": "xv",
+                    "audionet": "audionet"}[model_kind]
+            topk = 0
+            if model_kind == "iv_plda" and blackbox_fast_active():
+                from speakerguard_tpu.models.gmm import topk_k
+                topk = topk_k()
+                if topk:
+                    result["gmm_topk"] = topk
+            fwd_gf = sum(f for chain, _s, f, _b, _n in
+                         gflops_table(batch, wav_len, topk=topk,
+                                      topk_amortize_iters=max_iter)
+                         if chain == want)
+            mult = (fb_samples + 1 if attack_kind == "fakebob"
+                    else sr_parts)
+            per_iter = fwd_gf * mult
+            it_ms = dt * 1000.0 / max_iter
+            result["blackbox_fast"] = int(blackbox_fast_active())
+            result["logical_gflop_per_iter"] = round(per_iter, 1)
+            result["achieved_tflops"] = round(per_iter / it_ms, 1)
+            result["pct_peak_bf16_197t"] = round(100 * per_iter / it_ms
+                                                 / 197, 1)
+        except Exception:
+            pass
     print(json.dumps(result))
 
     if os.environ.get("BENCH_SWEEP"):
