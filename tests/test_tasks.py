@@ -151,6 +151,37 @@ def test_fakebob_threshold_estimation():
         assert est >= m.threshold - 1e-3
 
 
+def test_fakebob_threshold_estimation_ignores_blackbox_fast(monkeypatch):
+    """SG_BLACKBOX_FAST routes only the attack loop's NES forwards through
+    the bf16 fast path; threshold estimation stays on the exact path (its
+    accept/exceed exits compare raw scores to candidate thresholds), so
+    the estimate must be bit-identical with the knob on."""
+    m = ToySV(threshold=0.2)
+    rng = np.random.default_rng(8)
+    for seed in range(20):
+        x = jnp.asarray(rng.uniform(-0.2, 0.2, (1, 4000)
+                                    ).astype(np.float32))
+        d, _ = m.make_decision(x)
+        if int(d[0]) == -1:
+            break
+    else:
+        pytest.skip("no rejected sample found")
+
+    def estimate():
+        atk = FAKEBOB(m, task="SV", epsilon=0.3, max_iter=200,
+                      samples_per_draw=20, samples_per_draw_batch_size=20,
+                      max_lr=0.05)
+        return atk.estimate_threshold(x, step=0.5,
+                                      rng=jax.random.PRNGKey(0))
+
+    monkeypatch.setenv("SG_FAST", "1")
+    monkeypatch.setenv("SG_BLACKBOX_FAST", "0")
+    est_exact = estimate()
+    monkeypatch.setenv("SG_BLACKBOX_FAST", "1")
+    est_fast = estimate()
+    assert est_exact == est_fast
+
+
 def test_bpda_eot_vs_feco_defended():
     """Driver config 5: adaptive BPDA+EOT attack vs FeCo+QT defended model."""
     base = ToyModel()
