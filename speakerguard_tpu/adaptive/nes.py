@@ -42,7 +42,7 @@ def nes_grad(eot_fn, x, y, *, samples_per_draw: int, sigma: float,
     noise = jnp.concatenate([jnp.zeros((1, b, length), x.dtype),
                              noise, -noise], axis=0)       # (S+1, B, L)
     if sample_sharding is not None:
-        assert samples_batch is None or samples_batch >= noise.shape[0], \
+        assert samples_batch is None or samples_batch >= samples_per_draw, \
             "sample_sharding and samples_batch chunking are exclusive"
         samples_batch = None
         noise = jax.lax.with_sharding_constraint(noise, sample_sharding)
@@ -51,9 +51,19 @@ def nes_grad(eot_fn, x, y, *, samples_per_draw: int, sigma: float,
     eval_x = (x[None] + sigma * noise).reshape(s1 * b, length)
     eval_y = jnp.tile(y[None], (s1, 1)).reshape(-1)
 
-    if samples_batch is not None and samples_batch < s1:
-        chunk = samples_batch
-        n_chunks = -(-s1 // chunk)
+    if samples_batch is not None and samples_batch < samples_per_draw:
+        # The chunking knob is the reference's samples_per_draw_batch_size
+        # (NES.py:17-18), which budgets the DRAWN samples — the prepended
+        # unperturbed point must not trip it: samples_batch == S (the
+        # default) used to chunk s1 = S+1 into (S, 1) groups and pad the
+        # second group with S-1 junk lanes — ~1.96x wasted forward passes
+        # on every NES step.  When chunking is requested, the chunk count
+        # comes from the budget but sizes are balanced so padding is
+        # minimal (s1=51, budget 25 -> 3 chunks of 17, pad 0).  Regrouping
+        # never changes values: lanes are independent and every chunk
+        # shares the same eot_keys.
+        n_chunks = -(-s1 // samples_batch)
+        chunk = -(-s1 // n_chunks)
         pad = n_chunks * chunk - s1
         ex = jnp.pad(eval_x.reshape(s1, b, length),
                      ((0, pad), (0, 0), (0, 0))).reshape(

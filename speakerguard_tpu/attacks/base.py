@@ -26,11 +26,15 @@ def blackbox_fast_active() -> bool:
     exact (f32) path once, so the reported success vector is verified
     exactly — matching the PGD/CW2 convention (attacks/gradient.py:86-90).
 
-    Opt-in (default 0) until chip-A/B'd: NES difference signals at
-    sigma=1e-3 and PSO loss ordering could in principle be degraded by
-    bf16 score noise; the A/B arbiter is ASR at matched iteration counts."""
+    Default ON since chip-A/B'd (2026-08-19,
+    measurements/r05_blackbox_ab_log.txt): FAKEBOB xv @128 2.588 -> 3.055
+    utts/s (+18.0%) and Siren xv @32 3.078 -> 3.439 (+11.7%), both at
+    ASR IDENTICAL to the exact arms (89.1 / 84.4) — NES difference
+    signals at sigma=1e-3 and PSO loss ordering survive bf16 score noise
+    at these operating points.  SG_BLACKBOX_FAST=0 restores exact inner
+    forwards."""
     import os
-    return os.environ.get("SG_BLACKBOX_FAST", "0") == "1"
+    return os.environ.get("SG_BLACKBOX_FAST", "1") == "1"
 
 
 class Attack:

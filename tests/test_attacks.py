@@ -181,6 +181,36 @@ def test_fakebob_flips_toy(toy):
     assert sum(success) >= 2
 
 
+def test_nes_grad_chunking_invariant(toy):
+    """nes_grad outputs are invariant to the samples_batch memory budget:
+    chunking only regroups independent lanes (every chunk shares the same
+    eot_keys), so all five results must match.  Also pins the r5 fix —
+    samples_batch == samples_per_draw (the default) must NOT chunk: the
+    prepended clean point used to trip a (S, 1)-chunked evaluation with a
+    near-full junk pad chunk (~1.96x wasted forwards per NES step)."""
+    from speakerguard_tpu.adaptive.nes import nes_grad
+    from speakerguard_tpu.adaptive.eot import eot_no_grad
+    from speakerguard_tpu.attacks.losses import margin_loss
+
+    m, x, y = toy
+    loss_fn = lambda s, yy: margin_loss(  # noqa: E731
+        s, yy, task="CSI", targeted=False, confidence=0.0,
+        threshold=None, clip_max=False)
+    eot_fn = eot_no_grad(lambda xx, kk: m.score(xx), loss_fn, m.threshold)
+    eot_keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    key = jax.random.PRNGKey(1)
+
+    outs = []
+    for sb in (None, 8, 5, 3, 1):
+        outs.append(nes_grad(eot_fn, x, y, samples_per_draw=8, sigma=1e-3,
+                             key=key, num_classes=4, eot_keys=eot_keys,
+                             samples_batch=sb))
+    for o in outs[1:]:
+        for ref, got in zip(outs[0], o):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-7)
+
+
 def test_siren_runs(toy):
     m, x, y = toy
     atk = SirenAttack(m, task="CSI", epsilon=0.05, max_epoch=3, max_iter=10,
