@@ -4,8 +4,10 @@ Re-design of reference attack/SirenAttack.py: the particle axis is a real
 array axis folded into the model batch (one evaluation for all B x P
 particles), the per-epoch inner loop is a jitted `lax.scan` with per-sample
 active masks replacing the host-side `delete_found` tensor rebuilds
-(SirenAttack.py:191-232), and the epoch-wise particle re-init keeping the
-best particle (:66-79) happens between compiled epochs.
+(SirenAttack.py:191-232), and the epoch loop — particle re-init keeping
+the best (:66-79) plus the epoch-plateau abort (:138-144) — runs inside
+ONE jitted `lax.while_loop` (r5; the host loop, kept for verbose mode,
+paid a tunnel dispatch per epoch at a reference default of 300 epochs).
 
 PSO dynamics preserved: inertia annealed w, c1/c2 cognitive/social terms
 with fresh uniform r1/r2 each iteration, velocity bounds +-|upper-lower|,
@@ -57,6 +59,7 @@ class SirenAttack(Attack):
         self.abort_early_iter = abort_early_iter
         self.abort_early_epoch = abort_early_epoch
         self._epoch_fn = {}  # keyed by the SG_BLACKBOX_FAST knob
+        self._run_fn = {}    # device-resident epoch loop, same keying
         self._exact_eval = None
 
     def _loss_fn(self):
@@ -172,6 +175,90 @@ class SirenAttack(Attack):
 
         return epoch
 
+    def _make_run(self):
+        """Device-resident epoch loop (r5): the host epoch loop pays one
+        tunnel dispatch per epoch (~0.3 s each; the reference default is
+        max_epoch=300, SirenAttack.py:30), so the whole re-init /
+        epoch-plateau-abort logic (:66-79, :138-144) moves inside ONE
+        jitted lax.while_loop over epochs.  Bit-identical to the host
+        loop: the PRNG fold structure is reproduced exactly — the
+        epoch-0 (b,p,L) init draw and the keep-best (b,p-1,L) re-init
+        draw both derive from the same ikey (jax.random is deterministic
+        in (key, shape), so drawing both and selecting matches whichever
+        branch the host would have taken); pinned by the eager PSO
+        oracle test (tests/test_attacks.py)."""
+        p = self.n_particles
+        max_epoch, abort_early = self.max_epoch, self.abort_early
+        abort_epoch = self.abort_early_epoch
+        epoch_core = self._make_epoch()
+
+        def run(params, x, y, lower, upper, rng):
+            b, length = x.shape
+
+            def cond(c):
+                return jnp.logical_and(
+                    jnp.logical_and(c["epoch"] < max_epoch, c["cont"]),
+                    jnp.any(c["active"]))
+
+            def body(c):
+                epoch = c["epoch"]
+                ekey = jax.random.fold_in(rng, epoch)
+                ikey, ekey2 = jax.random.split(ekey)
+                fresh_full = jax.random.uniform(
+                    ikey, (b, p, length), x.dtype, lower[:, None, :],
+                    upper[:, None, :])
+                best_idx = jnp.argmin(c["pbests"], axis=1)
+                best_loc = jnp.take_along_axis(
+                    c["pbest_locations"], best_idx[:, None, None], 1)
+                best_val = jnp.take_along_axis(c["pbests"],
+                                               best_idx[:, None], 1)
+                fresh = jax.random.uniform(
+                    ikey, (b, p - 1, length), x.dtype, lower[:, None, :],
+                    upper[:, None, :])
+                keep_loc = jnp.concatenate([best_loc, fresh], axis=1)
+                keep_val = jnp.concatenate(
+                    [best_val,
+                     jnp.full((b, p - 1), jnp.inf, jnp.float32)], axis=1)
+                first = epoch == 0
+                pbest_locations = jnp.where(first, fresh_full, keep_loc)
+                pbests = jnp.where(
+                    first, jnp.full((b, p), jnp.inf, jnp.float32),
+                    keep_val)
+
+                (pbest_locations, pbests, gbest_loc, gbests, gbest_pred,
+                 active) = epoch_core(params, x, y, lower, upper,
+                                      pbest_locations, pbests,
+                                      c["gbest_loc"], c["gbests"],
+                                      c["gbest_pred"], c["active"], ekey2)
+
+                check = jnp.logical_and(abort_early,
+                                        (epoch + 1) % abort_epoch == 0)
+                plateau = jnp.mean(gbests) > 0.9999 * jnp.mean(
+                    c["prev_gbest_epoch"])
+                cont = jnp.logical_not(jnp.logical_and(check, plateau))
+                prev = jnp.where(check, gbests, c["prev_gbest_epoch"])
+                return dict(epoch=epoch + 1,
+                            pbest_locations=pbest_locations,
+                            pbests=pbests, gbest_loc=gbest_loc,
+                            gbests=gbests, gbest_pred=gbest_pred,
+                            active=active, prev_gbest_epoch=prev,
+                            cont=cont)
+
+            init = dict(
+                epoch=jnp.asarray(0),
+                pbest_locations=jnp.zeros((b, p, length), x.dtype),
+                pbests=jnp.full((b, p), jnp.inf, jnp.float32),
+                gbest_loc=jnp.zeros((b, length), x.dtype),
+                gbests=jnp.full((b,), jnp.inf, jnp.float32),
+                gbest_pred=jnp.full((b,), -2, jnp.int32),
+                active=jnp.ones((b,), bool),
+                prev_gbest_epoch=jnp.full((b,), jnp.inf, jnp.float32),
+                cont=jnp.asarray(True))
+            final = jax.lax.while_loop(cond, body, init)
+            return final["gbest_loc"], final["gbests"]
+
+        return run
+
     def attack(self, x, y, rng=None):
         if self.task in ("SV", "OSI") and self.threshold is None:
             raise RuntimeError(
@@ -199,6 +286,18 @@ class SirenAttack(Attack):
         upper = jnp.clip(1.0 - x, None, self.epsilon)
 
         fast_key = int(blackbox_fast_active())
+        if not self.verbose:
+            # default path: ONE dispatch for the whole attack (the host
+            # epoch loop below costs a tunnel round-trip per epoch; the
+            # reference default is 300 epochs).  Bit-identical semantics
+            # — see _make_run.
+            if fast_key not in self._run_fn:
+                self._run_fn[fast_key] = jax.jit(self._make_run())
+            gbest_loc, gbests = self._run_fn[fast_key](
+                params, x, y, lower, upper, rng)
+            return self._finalize(params, x, y, gbest_loc, gbests, rng)
+
+        # verbose: host epoch loop, prints per-epoch gbests
         if fast_key not in self._epoch_fn:
             self._epoch_fn[fast_key] = jax.jit(self._make_epoch())
         epoch_fn = self._epoch_fn[fast_key]
@@ -246,6 +345,9 @@ class SirenAttack(Attack):
                 print(f"siren epoch {epoch}: gbests="
                       f"{np.asarray(gbests).tolist()}")
 
+        return self._finalize(params, x, y, gbest_loc, gbests, rng)
+
+    def _finalize(self, params, x, y, gbest_loc, gbests, rng):
         adver_x = gbest_loc + x
         if blackbox_fast_active():
             # verified success: the loop's gbests are bf16 fast-path

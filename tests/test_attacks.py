@@ -221,6 +221,23 @@ def test_siren_runs(toy):
     assert sum(success) >= 1
 
 
+def test_siren_device_epoch_loop_matches_host_loop(toy):
+    """The r5 device-resident epoch while_loop (default) must reproduce
+    the host epoch loop (verbose mode) bit for bit — same PRNG fold
+    structure, re-init keeping best, and epoch-plateau abort.  Config
+    chosen to exercise multi-epoch re-init and the outer abort."""
+    m, x, y = toy
+    kw = dict(task="CSI", epsilon=0.02, max_epoch=4, max_iter=7,
+              n_particles=5, abort_early_iter=3, abort_early_epoch=2)
+    rng = jax.random.PRNGKey(42)
+    a_dev = SirenAttack(m, **kw)
+    adv_dev, suc_dev = a_dev.attack(x, y, rng=rng)
+    a_host = SirenAttack(m, verbose=1, **kw)
+    adv_host, suc_host = a_host.attack(x, y, rng=rng)
+    assert suc_dev == suc_host
+    np.testing.assert_array_equal(np.asarray(adv_dev), np.asarray(adv_host))
+
+
 def test_kenan_fft_runs(toy):
     m, x, y = toy
     atk = Kenan(m, atk_name="fft", max_iter=6)
