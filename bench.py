@@ -294,11 +294,15 @@ def main():
 
     n_rep = 3
     success = []
+    exec_units = 0.0  # fakebob: executed NES iterations; siren: epochs
     t0 = time.perf_counter()
     for i in range(n_rep):
         adver, success = atk.attack(x, y, rng=jax.random.fold_in(key, i))
         jax.block_until_ready(adver)
+        exec_units += getattr(atk, "last_executed_iters", 0) or \
+            getattr(atk, "last_executed_epochs", 0)
     dt = (time.perf_counter() - t0) / n_rep
+    exec_units /= n_rep
     utts_per_sec = batch / dt
     # attack success rate: a perf win that silently breaks gradients (sign
     # flip etc.) must not look like a win
@@ -417,7 +421,19 @@ def main():
             mult = (fb_samples + 1 if attack_kind == "fakebob"
                     else sr_parts)
             per_iter = fwd_gf * mult
-            it_ms = dt * 1000.0 / max_iter
+            # honest divisor: iterations ACTUALLY executed — lanes can all
+            # solve early and exit the while loop (iv fakebob at ASR 100
+            # exits in ~a dozen NES steps; dividing by max_iter then
+            # claimed >100% of peak).  fakebob reports NES iterations
+            # directly; siren reports epochs, each running the full
+            # masked (sr_iters+1) inner scan.
+            if attack_kind == "fakebob":
+                eff_iters = exec_units or max_iter
+            else:
+                eff_iters = ((exec_units * (sr_iters + 1))
+                             if exec_units else max_iter)
+            result["executed_iters_per_call"] = round(eff_iters, 1)
+            it_ms = dt * 1000.0 / eff_iters
             result["blackbox_fast"] = int(blackbox_fast_active())
             result["logical_gflop_per_iter"] = round(per_iter, 1)
             result["achieved_tflops"] = round(per_iter / it_ms, 1)

@@ -74,6 +74,9 @@ class CW2(Attack):
         # Read once at construction (the jitted inner is built here).
         import os
         self._fast = os.environ.get("SG_CW2_FAST", "0") == "1"
+        # SG_CW2_TOPK=1: let the fast inner loop also use iv_plda's frozen
+        # top-K selection — aggressive speed/ASR trade, see _make_inner
+        self._fast_topk = os.environ.get("SG_CW2_TOPK", "0") == "1"
         self._opt = optax.adam(lr)
         self._inner = jax.jit(self._make_inner())
 
@@ -92,12 +95,15 @@ class CW2(Attack):
             x_atanh = jnp.arctanh(x * ATANH_CLIP)
             # per-run fast-path context (iv_plda's frozen top-K Gaussian
             # selection, r5): computed on the clean input like PGD
-            # (gradient.py:79-85).  CW2's L2 perturbations aren't
-            # eps-ball-bounded, so the frozen selection is a looser
-            # approximation here — acceptable because the returned best
-            # audio is re-verified against the EXACT model below.
+            # (gradient.py:79-85) — but OFF by default even under
+            # SG_CW2_FAST: CW2's L2 perturbations aren't eps-ball-bounded
+            # and the frozen selection degrades success (chip r5 @512:
+            # topk256 11.9 utts/s ASR 92.6 vs no-topk 7.7 ASR 99.8 vs
+            # exact 5.46 ASR 100, measurements/r05_blackbox_ab_log.txt).
+            # SG_CW2_TOPK=1 opts into the aggressive trade; the returned
+            # best audio is always re-verified against the EXACT model.
             ctx_kw = {}
-            if self._fast:
+            if self._fast and self._fast_topk:
                 ctx = model.fast_context(x, params=params)
                 if ctx is not None:
                     ctx_kw = {"fast_ctx": ctx}

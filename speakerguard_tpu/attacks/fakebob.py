@@ -121,10 +121,21 @@ class FAKEBOB(Attack):
             # input, valid inside the epsilon-ball like in PGD
             # (attacks/gradient.py:79-85).
             score_kw = {}
+            exact_fn = None
             if use_fast:
                 ctx = model.fast_context(x0, params=params)
                 score_kw = (dict(fast=True) if ctx is None
                             else dict(fast=True, fast_ctx=ctx))
+                # exact-drop guard: a lane may only retire as "found" if
+                # the EXACT model confirms its loss < 0 — a bf16 fast
+                # loss crossing zero on a marginal lane must not lock in
+                # a failure (chip r5: iv fakebob fast read ASR 87.5 vs
+                # 100 exact before this guard).  The exact evaluation is
+                # gated behind lax.cond, so it only runs on iterations
+                # where some lane newly crosses.
+                exact_fn = eot_no_grad(
+                    lambda xx, kk: model.score(xx, rng=kk, params=params),
+                    self._loss_fn(threshold), model.threshold)
 
             def cond(c):
                 return jnp.logical_and(c["it"] <= max_iter,
@@ -145,9 +156,23 @@ class FAKEBOB(Attack):
                 best_loss = jnp.where(better, adver_loss, c["best_loss"])
                 best_x = jnp.where(better[:, None], c["x"], c["best_x"])
 
-                # drop found (adver_loss < 0)
-                active = jnp.logical_and(c["active"], jnp.logical_not(
-                    jnp.logical_and(adver_loss < 0, valid)))
+                # drop found (adver_loss < 0); under the fast path the
+                # drop must be confirmed by the exact model (see guard
+                # construction above)
+                would_drop = jnp.logical_and(
+                    c["active"], jnp.logical_and(adver_loss < 0, valid))
+                if exact_fn is not None:
+                    ekeys = jax.random.split(
+                        jax.random.fold_in(rng, 0x7e57 + c["it"]),
+                        self.EOT_size)
+                    ex_loss = jax.lax.cond(
+                        jnp.any(would_drop),
+                        lambda xx: exact_fn(xx, y, ekeys)[1],
+                        lambda xx: jnp.zeros_like(adver_loss),
+                        c["x"])
+                    would_drop = jnp.logical_and(would_drop, ex_loss < 0)
+                active = jnp.logical_and(c["active"],
+                                         jnp.logical_not(would_drop))
 
                 grad = momentum * c["prev_grad"] + (1.0 - momentum) * grad
 
@@ -217,7 +242,11 @@ class FAKEBOB(Attack):
                 ekeys = jax.random.split(jax.random.fold_in(rng, 0x5eed),
                                          self.EOT_size)
                 _, best_loss, _ = exact(best_x, y, ekeys)
-            return best_x, best_loss
+            # final["it"] = NES iterations actually executed (including
+            # masked chunk-overshoot bodies, which still burn forwards) —
+            # bench MFU uses it instead of max_iter when lanes all solve
+            # early and the while exits
+            return best_x, best_loss, final["it"]
 
         return run
 
@@ -252,8 +281,9 @@ class FAKEBOB(Attack):
             self._run_cache[run_key] = jax.jit(self._make_run())
         thr = jnp.asarray(self.threshold if self.threshold is not None
                           else 0.0, jnp.float32)
-        best_x, best_loss = self._run_cache[run_key](
+        best_x, best_loss, it = self._run_cache[run_key](
             params, x, y, lower, upper, thr, rng)
+        self.last_executed_iters = int(it)
         success = (np.asarray(best_loss) < 0).tolist()
         return best_x, success
 

@@ -84,10 +84,22 @@ class SirenAttack(Attack):
             # input, valid inside the distortion ball); the final success
             # vector is re-verified on the exact path in _attack_whole
             score_kw = {}
+            exact_fn = None
             if use_fast:
                 ctx = self.model.fast_context(x, params=params)
                 score_kw = (dict(fast=True) if ctx is None
                             else dict(fast=True, fast_ctx=ctx))
+                # exact-retirement guard (like fakebob's exact-drop
+                # guard): a lane may only freeze as "solved" if the
+                # EXACT model confirms its gbest candidate's loss < 0 —
+                # bf16 fast losses crossing zero on marginal lanes must
+                # not lock in failures.  lax.cond-gated: the exact
+                # forward only runs on iterations where a lane newly
+                # crosses (1×B forwards vs the P×B particle evaluation).
+                exact_fn = eot_no_grad(
+                    lambda xx, kk: self.model.score(xx, rng=kk,
+                                                    params=params),
+                    self._loss_fn(), self.model.threshold)
             score_fn = lambda xx, kk: self.model.score(  # noqa: E731
                 xx, rng=kk, params=params, **score_kw)
             eot_fn = eot_no_grad(score_fn, self._loss_fn(),
@@ -143,7 +155,18 @@ class SirenAttack(Attack):
                                  cont)
                 prev_gbest = jnp.where(check, gbests, prev_gbest)
 
-                active = jnp.logical_and(active, gbests >= 0)
+                newly = jnp.logical_and(active, gbests < 0)
+                if exact_fn is not None:
+                    ekeys = jax.random.split(
+                        jax.random.fold_in(lkey, 0x7e57 + it),
+                        self.EOT_size)
+                    ex_loss = jax.lax.cond(
+                        jnp.any(newly),
+                        lambda gl: exact_fn(gl + x, y, ekeys)[1],
+                        lambda gl: jnp.zeros_like(gbests),
+                        gbest_loc)
+                    newly = jnp.logical_and(newly, ex_loss < 0)
+                active = jnp.logical_and(active, jnp.logical_not(newly))
                 cont = jnp.logical_and(cont, jnp.any(active))
 
                 w = (w_init - w_end) * (max_iter - it - 1) / max_iter + w_end
@@ -255,7 +278,9 @@ class SirenAttack(Attack):
                 prev_gbest_epoch=jnp.full((b,), jnp.inf, jnp.float32),
                 cont=jnp.asarray(True))
             final = jax.lax.while_loop(cond, body, init)
-            return final["gbest_loc"], final["gbests"]
+            # final["epoch"] = epochs actually executed (each runs the
+            # full masked max_iter+1 inner scan) — bench MFU divisor
+            return final["gbest_loc"], final["gbests"], final["epoch"]
 
         return run
 
@@ -293,8 +318,9 @@ class SirenAttack(Attack):
             # — see _make_run.
             if fast_key not in self._run_fn:
                 self._run_fn[fast_key] = jax.jit(self._make_run())
-            gbest_loc, gbests = self._run_fn[fast_key](
+            gbest_loc, gbests, epochs = self._run_fn[fast_key](
                 params, x, y, lower, upper, rng)
+            self.last_executed_epochs = int(epochs)
             return self._finalize(params, x, y, gbest_loc, gbests, rng)
 
         # verbose: host epoch loop, prints per-epoch gbests
@@ -333,6 +359,7 @@ class SirenAttack(Attack):
              active) = epoch_fn(params, x, y, lower, upper,
                                       pbest_locations, pbests, gbest_loc,
                                       gbests, gbest_pred, active, ekey2)
+            self.last_executed_epochs = epoch + 1
 
             if not bool(jnp.any(active)):
                 break
