@@ -414,6 +414,79 @@ def test_blackbox_fast_verified_success(rng, monkeypatch):
             zip(np.asarray(d), np.asarray(y))] == list(success)
 
 
+def test_blackbox_fast_retirement_guard_survives_deceptive_fast(monkeypatch):
+    """Exact-verified lane retirement (r5): under SG_BLACKBOX_FAST a lane
+    may only retire as "found" once the EXACT model confirms its loss < 0.
+
+    Adversarial stand-in for bf16 fast-path optimism: a toy SV model whose
+    fast=True scores read +1.0 above exact, so the FAST loss claims success
+    on the (rejected) clean input at iteration 0 for every lane.  Without
+    the guard, FAKEBOB and Siren would retire every lane immediately with
+    the failing clean input locked in, and the exact-path final
+    re-verification would report all-False.  With the guard, lanes stay
+    active until the exact model accepts — and because the deceptive shift
+    is constant (it cancels in antithetic NES estimates and in every
+    PSO/plateau comparison, up to float rounding), the fast run's SUCCESS
+    VECTOR must match the exact (SG_BLACKBOX_FAST=0) run.  Chip
+    motivation: iv FAKEBOB fast read ASR 87.5 vs 100 exact pre-guard
+    (measurements/r05_blackbox_ab_log.txt)."""
+    from test_tasks import ToySV
+    from speakerguard_tpu.attacks import FAKEBOB, SirenAttack
+    from speakerguard_tpu.attacks.losses import margin_loss
+
+    class DeceptiveFastSV(ToySV):
+        """fast=True scores read +shift above exact."""
+        shift = 1.0
+
+        def _embedding_from_top(self, feats, p=None, fast=False):
+            emb = feats.mean(-1)
+            if fast:
+                # add c with c @ w == shift (w is (T', 1) for SV)
+                emb = emb + self.shift * self.w[:, 0] / jnp.sum(self.w ** 2)
+            return emb
+
+    m = DeceptiveFastSV()
+    r = np.random.default_rng(17)
+    x = jnp.asarray(r.uniform(-0.2, 0.2, (2, 4000)).astype(np.float32))
+    tau = float(np.asarray(m.score(x)).max()) + 0.2
+    m.threshold = tau
+    y = jnp.full((2,), -1, jnp.int32)  # imposters seeking acceptance
+
+    # the deception is real: fast claims success on the clean input
+    # (loss = tau - (s + 1) < 0), exact does not (clean is rejected)
+    s_exact = np.asarray(m.score(x))[:, 0]
+    s_fast = np.asarray(m.score(x, fast=True))[:, 0]
+    np.testing.assert_allclose(s_fast - s_exact, 1.0, atol=1e-5)
+    assert np.all(tau - s_fast < 0) and np.all(tau - s_exact > 0)
+
+    def run(attack_cls, **kw):
+        out = {}
+        for knob in ("0", "1"):
+            monkeypatch.setenv("SG_BLACKBOX_FAST", knob)
+            atk = attack_cls(m, threshold=tau, task="SV", **kw)
+            out[knob] = atk.attack(x, y, rng=jax.random.PRNGKey(3))
+        return out
+
+    fb = run(FAKEBOB, epsilon=0.3, max_iter=40, max_lr=0.02,
+             samples_per_draw=20, samples_per_draw_batch_size=20,
+             stop_early=False)
+    (adv_ex, suc_ex), (adv_fa, suc_fa) = fb["0"], fb["1"]
+    assert suc_fa == suc_ex and any(suc_fa)  # no guard -> all-False here
+    # reported success == exact acceptance of the returned waveform
+    d, _ = m.make_decision(adv_fa)
+    assert [bool(int(di) == 0) for di in np.asarray(d)] == list(suc_fa)
+    assert float(jnp.max(jnp.abs(adv_fa - x))) <= 0.3 + 1e-6
+
+    sa = run(SirenAttack, epsilon=0.3, max_epoch=3, max_iter=10,
+             n_particles=16, abort_early=False)
+    (adv_ex, suc_ex), (adv_fa, suc_fa) = sa["0"], sa["1"]
+    assert suc_fa == suc_ex
+    loss = np.asarray(margin_loss(m.score(adv_fa), y, task="SV",
+                                  threshold=tau, clip_max=False))
+    assert [bool(l < 0) for l in loss] == list(suc_fa)
+    assert float(jnp.max(jnp.abs(adv_fa - x))) <= 0.3 + 1e-6
+
+
 def test_audionet_fast_dft_precision_knob(rng, monkeypatch):
     """AudioNet attack graphs honor SG_DFT_FAST_PRECISION like xv/iv:
     'default' changes only the fast path (exact path untouched), and the
