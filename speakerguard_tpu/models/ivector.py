@@ -122,13 +122,19 @@ def _use_pallas_chol() -> bool:
 
 
 def _chol_factor(l_mat, fast=False):
-    """Returns (factor, lower).  On TPU the batched Pallas kernel computes
-    the upper factor R (R^T R = L) — XLA's cholesky on (128, 600, 600)
-    lowers to a ~600-step While loop costing ~23 ms/call (see
-    ops/pallas_chol.py); the kernel does it VMEM-resident."""
+    """Returns (factor, dinv_t, lower).  On TPU the batched Pallas kernel
+    computes the upper factor R (R^T R = L) — XLA's cholesky on
+    (128, 600, 600) lowers to a ~600-step While loop costing ~23 ms/call
+    (see ops/pallas_chol.py); the kernel does it VMEM-resident.
+
+    dinv_t (or None): inverse-transposed 128x128 diagonal blocks of R,
+    emitted as a byproduct of the same sweep (SG_CHOL_EMIT_DINV=1) so the
+    triangular applies skip their per-iteration XLA triangular_solve
+    block inversion — see ops/pallas_chol.cholesky_rt_dinv."""
     if _use_pallas_chol():
         import os
-        from speakerguard_tpu.ops.pallas_chol import cholesky_rt
+        from speakerguard_tpu.ops.pallas_chol import (cholesky_rt,
+                                                      cholesky_rt_dinv)
         interpret = jax.default_backend() != "tpu"
         # panel-rows knob: nb=16 measured +0.6 utts/s e2e over nb=8 at
         # bench shapes (same 6.5e-7 factor accuracy); nb=32 also correct
@@ -140,24 +146,46 @@ def _chol_factor(l_mat, fast=False):
         # SG_CHOL_BF16={0,1} forces either globally.
         bf16 = os.environ.get("SG_CHOL_BF16",
                               "1" if fast else "0") == "1"
-        return cholesky_rt(l_mat, nb=nb, interpret=interpret,
-                           bf16_updates=bf16), False
-    return jnp.linalg.cholesky(l_mat), True
+        # batch-tile knob: grid steps run sequentially on the TensorCore,
+        # so fewer/fatter tiles amortize the per-step serial panel sweeps
+        # against more batch — bounded above by VMEM (the aliased
+        # (b_tile, 640, 640) f32 block double-buffers)
+        b_tile = int(os.environ.get("SG_CHOL_BTILE", "16"))
+        # a bf16 L (SG_IVEC_L_BF16) feeds the kernel directly by default:
+        # the up-convert happens in VMEM, killing the standalone XLA
+        # convert fusion that materialized the f32 (B, 640, 640) input
+        # (bit-identical factor; SG_CHOL_BF16_IN=0 restores the pre-r5f
+        # convert-outside behavior for A/B)
+        if (l_mat.dtype != jnp.float32
+                and os.environ.get("SG_CHOL_BF16_IN", "1") != "1"):
+            l_mat = l_mat.astype(jnp.float32)
+        if os.environ.get("SG_CHOL_EMIT_DINV", "0") == "1":
+            factor, dinv_t = cholesky_rt_dinv(
+                l_mat, nb=nb, b_tile=b_tile, interpret=interpret,
+                bf16_updates=bf16)
+            return factor, dinv_t, False
+        return cholesky_rt(l_mat, nb=nb, b_tile=b_tile,
+                           interpret=interpret,
+                           bf16_updates=bf16), None, False
+    return jnp.linalg.cholesky(l_mat.astype(jnp.float32)), None, True
 
 
-def _chol_apply(factor, lower: bool, v):
+def _chol_apply(factor, lower: bool, v, dinv_t=None):
     """Solve A x = v given A's triangular factor (two triangular solves).
 
     Uses block-substitution solves (ops/trsv.py): XLA's vector-RHS
     triangular_solve is latency-bound on TPU (the two solves measured
-    7.3 ms at (128, 600, 600) vs 1.3 ms block-structured, rel err ~3e-7)."""
+    7.3 ms at (128, 600, 600) vs 1.3 ms block-structured, rel err ~3e-7).
+    dinv_t: pre-inverted diagonal blocks from cholesky_rt_dinv — both
+    substitutions become pure batched matmuls (m=128 block grid)."""
     from speakerguard_tpu.ops.trsv import triangular_solve_vec as tsv
+    kw = {} if dinv_t is None else dict(dinv_t=dinv_t, m=128)
     if lower:   # A = C C^T
-        y = tsv(factor, v, lower=True)
-        x = tsv(factor, y, lower=True, transpose_a=True)
+        y = tsv(factor, v, lower=True, **kw)
+        x = tsv(factor, y, lower=True, transpose_a=True, **kw)
     else:       # A = R^T R
-        y = tsv(factor, v, lower=False, transpose_a=True)
-        x = tsv(factor, y, lower=False)
+        y = tsv(factor, v, lower=False, transpose_a=True, **kw)
+        x = tsv(factor, y, lower=False, **kw)
     return x
 
 
@@ -193,13 +221,13 @@ def _make_spd_solve(kind: str, fast: bool = False, bf16_l: bool = False):
     l_dtype = jnp.bfloat16 if bf16_l else jnp.float32
 
     def impl(l_mat, rhs):
-        l_mat = l_mat.astype(jnp.float32)
         if kind == "fused":
             from speakerguard_tpu.ops.pallas_chol import chol_solve
             interpret = jax.default_backend() != "tpu"
-            return chol_solve(l_mat, rhs, interpret=interpret)
-        factor, _ = _chol_factor(l_mat, fast=fast)
-        return _chol_apply(factor, lower, rhs)
+            return chol_solve(l_mat.astype(jnp.float32), rhs,
+                              interpret=interpret)
+        factor, dinv_t, _ = _chol_factor(l_mat, fast=fast)
+        return _chol_apply(factor, lower, rhs, dinv_t=dinv_t)
 
     @jax.custom_vjp
     def solve(l_mat, rhs):
@@ -218,13 +246,13 @@ def _make_spd_solve(kind: str, fast: bool = False, bf16_l: bool = False):
             return (-jnp.einsum("bi,bj->bij", u, x).astype(l_dtype), u)
     else:
         def fwd(l_mat, rhs):
-            factor, _ = _chol_factor(l_mat.astype(jnp.float32), fast=fast)
-            x = _chol_apply(factor, lower, rhs)
-            return x, (factor, x)
+            factor, dinv_t, _ = _chol_factor(l_mat, fast=fast)
+            x = _chol_apply(factor, lower, rhs, dinv_t=dinv_t)
+            return x, (factor, dinv_t, x)
 
         def bwd(res, g):
-            factor, x = res
-            u = _chol_apply(factor, lower, g)
+            factor, dinv_t, x = res
+            u = _chol_apply(factor, lower, g, dinv_t=dinv_t)
             return (-jnp.einsum("bi,bj->bij", u, x).astype(l_dtype), u)
 
     solve.defvjp(fwd, bwd)

@@ -53,11 +53,16 @@ def _make_kernel(b_tile, n_pad, nb, ob, upd_dtype=jnp.float32):
     n_outer = n_pad // ob
 
     def kernel(a_ref, m_ref):
-        # input is aliased to output (input_output_aliases) so both refs
-        # address ONE VMEM buffer — separate in+out copies blow the
-        # scoped-vmem budget.  The copy below is a no-op when aliased and
-        # keeps interpret mode (which may not alias) correct.
-        m_ref[:] = a_ref[:]
+        # f32 input is aliased to output (input_output_aliases) so both
+        # refs address ONE VMEM buffer — separate in+out copies blow the
+        # scoped-vmem budget; the copy below is then a no-op (and keeps
+        # interpret mode, which may not alias, correct).  A bfloat16
+        # input (SG_IVEC_L_BF16 attack path) cannot alias the f32 output:
+        # it arrives as its own half-size block — HBM reads half, and the
+        # standalone XLA convert fusion that used to materialize the f32
+        # (B, 640, 640) input disappears — and the up-convert happens here
+        # in VMEM.
+        m_ref[:] = a_ref[:].astype(jnp.float32)
         sub = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]  # (nb,)
         hi = jax.lax.Precision.HIGHEST
 
@@ -137,6 +142,161 @@ def _make_kernel(b_tile, n_pad, nb, ob, upd_dtype=jnp.float32):
                     m_ref[:, rs:rs + 128, os_ + ob:] = blk - upd
 
     return kernel
+
+
+def _make_kernel_dinv(b_tile, n_pad, nb, ob, upd_dtype=jnp.float32):
+    """Like _make_kernel, but ALSO emits the inverse-transpose of every
+    128x128 diagonal block of the factor as a byproduct of the sweep.
+
+    A shared 128-lane identity block is appended past lane n_pad; it rides
+    every WITHIN-outer-block row operation (the sequential rank-1 steps
+    and the inner panel trailing updates) but is EXCLUDED from the
+    cross-block outer trailing updates.  The within-block ops compose to
+    the transform T_o with T_o A'_oo = R_oo (A'_oo = the block after
+    cross-block elimination), i.e. T_o = R_oo^{-T}; applied to I they
+    leave exactly that matrix in the aug lanes of block o's rows.  One
+    shared 128-lane block suffices because different outer blocks' row
+    ops never mix rows across blocks.
+
+    With the block inverses in hand, BOTH triangular substitutions of the
+    SPD solve become pure batched matmuls (ops/trsv.py dinv_t= path) —
+    the XLA triangular_solve that inverted the diagonal blocks per
+    iteration (latency-bound custom-call, measured 6.9 ms/iter at
+    (512, 640, 640) bench shapes) disappears from the hot path.
+    Requires ob == 128 (one aug block per outer block)."""
+    assert ob == 128
+    n_outer = n_pad // ob
+    w_aug = n_pad + 128
+
+    def kernel(a_ref, m_ref):
+        # input may be bf16 (half-width block, no aliasing) or f32 padded
+        # to the full aug width and aliased (the slice copy is then a
+        # no-op); the aug lanes are (re)initialized to the per-row local
+        # identity e_{row mod 128} either way.
+        m_ref[:, :, :n_pad] = a_ref[:, :, :n_pad].astype(jnp.float32)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 128), 0)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 128), 1)
+        ident = (coli == rowi % 128).astype(jnp.float32)
+        m_ref[:, :, n_pad:] = jnp.broadcast_to(ident[None],
+                                               (b_tile, n_pad, 128))
+        sub = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]  # (nb,)
+        hi = jax.lax.Precision.HIGHEST
+
+        def bdot(x, y):
+            return jax.lax.dot_general(
+                x.astype(upd_dtype), y.astype(upd_dtype),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=None if upd_dtype == jnp.bfloat16 else hi)
+
+        for o in range(n_outer):             # static
+            os_ = o * ob
+            w = w_aug - os_                  # panel width INCLUDING aug
+            lane = os_ + jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+            for ip in range(ob // nb):       # static
+                s = os_ + ip * nb
+
+                def step(j, pan):
+                    onehot = (sub == j).astype(jnp.float32)
+                    rowj = jnp.sum(pan * onehot[None, :, None], axis=1)
+                    keep = jnp.logical_or(lane >= s + j, lane >= n_pad)
+                    rowj = jnp.where(keep, rowj, 0.0)
+                    diag = jnp.sum(
+                        jnp.where(lane == s + j, rowj, 0.0), axis=-1,
+                        keepdims=True)
+                    rsq = jax.lax.rsqrt(diag)
+                    rowj = rowj * rsq
+                    coef = rowj[:, s - os_:s - os_ + nb]
+                    c = (jnp.where(sub[None, :] > j, coef, 0.0)
+                         + onehot[None, :] * (diag * rsq - 1.0))
+                    return pan - c[:, :, None] * rowj[:, None, :]
+                pan = jax.lax.fori_loop(0, nb, step, m_ref[:, s:s + nb, os_:])
+                tri = jnp.logical_or(lane >= (s + sub)[:, None],
+                                     lane >= n_pad)
+                pan = jnp.where(tri[None], pan, 0.0)
+                m_ref[:, s:s + nb, os_:] = pan
+                if os_ > 0:
+                    m_ref[:, s:s + nb, :os_] = jnp.zeros(
+                        (b_tile, nb, os_), jnp.float32)
+
+                re = os_ + ob
+                if s + nb < re:
+                    # inner trailing update: WITHIN-block row ops, so the
+                    # aug lanes ride along (pan spans them)
+                    pan_t = jnp.swapaxes(pan, 1, 2)          # (b, w, nb)
+                    coef_t = pan_t[:, s + nb - os_:re - os_, :]
+                    upd = bdot(coef_t, pan)                  # (b, rows, w)
+                    blk = m_ref[:, s + nb:re, os_:]
+                    m_ref[:, s + nb:re, os_:] = blk - upd
+
+            if os_ + ob < n_pad:
+                # outer trailing update: cross-block elimination — the aug
+                # lanes are EXCLUDED (slices bounded at n_pad), so each
+                # block's aug stays the LOCAL transform R_oo^{-T}
+                rblk = m_ref[:, os_:os_ + ob, os_ + ob:n_pad]
+                for rs in range(os_ + ob, n_pad, 128):
+                    coef_t = jnp.swapaxes(
+                        m_ref[:, os_:os_ + ob, rs:rs + 128], 1, 2)
+                    upd = bdot(coef_t, rblk)                 # (b, 128, m)
+                    blk = m_ref[:, rs:rs + 128, os_ + ob:n_pad]
+                    m_ref[:, rs:rs + 128, os_ + ob:n_pad] = blk - upd
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "ob", "b_tile", "interpret",
+                                    "bf16_updates"))
+def cholesky_rt_dinv(a: jnp.ndarray, nb: int = 8, ob: int = 128,
+                     b_tile: int = 16, interpret: bool = False,
+                     bf16_updates: bool = False):
+    """Batched Cholesky returning (R, dinv_t): the upper factor R with
+    R^T R = a (as cholesky_rt) plus dinv_t (B, K, 128, 128) where
+    dinv_t[:, i] = inverse-TRANSPOSE of R's i-th 128x128 diagonal block
+    (padded blocks invert to identity) — see _make_kernel_dinv.  With
+    these, a triangular solve against R is pure block substitution with
+    batched matmuls (ops/trsv.py dinv_t= path): no XLA triangular_solve
+    anywhere in the SPD solve."""
+    b, n, n2 = a.shape
+    assert n == n2 and ob == 128 and ob % nb == 0
+    n_pad = _round_up(n, 128)
+    b_pad = _round_up(b, b_tile)
+    if n_pad != n:
+        a = jnp.pad(a, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+        pad_diag = (jnp.arange(n_pad) >= n).astype(a.dtype)
+        a = a + jnp.diag(pad_diag)[None]
+    if b_pad != b:
+        eye = jnp.broadcast_to(jnp.eye(n_pad, dtype=a.dtype),
+                               (b_pad - b, n_pad, n_pad))
+        a = jnp.concatenate([a, eye], axis=0)
+
+    f32_in = a.dtype == jnp.float32
+    if f32_in:
+        # pad to the aug width so input and output alias one VMEM buffer
+        # (the aug junk is overwritten by the kernel's identity init)
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, 128)))
+    kernel = _make_kernel_dinv(b_tile, n_pad, nb, ob,
+                               jnp.bfloat16 if bf16_updates
+                               else jnp.float32)
+    in_w = n_pad + 128 if f32_in else n_pad
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, n_pad + 128),
+                                       jnp.float32),
+        grid=(b_pad // b_tile,),
+        in_specs=[pl.BlockSpec((b_tile, n_pad, in_w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((b_tile, n_pad, n_pad + 128),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0} if f32_in else {},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(a)
+    dinv_t = out[:b, :, n_pad:].reshape(b, n_pad // 128, 128, 128)
+    return out[:b, :n, :n], dinv_t
 
 
 def _make_solve_kernel(b_tile, n_pad, nb, ob):
@@ -332,9 +492,12 @@ def cholesky_rt(a: jnp.ndarray, nb: int = 8, ob: int = 128,
     """Batched Cholesky, returning the UPPER factor R with R^T R = a.
 
     a: (B, N, N) SPD (symmetric, only the upper triangle + diagonal are
-    read).  R equals jnp.linalg.cholesky(a).mT exactly (up to f32 rounding).
-    nb: inner panel rows (sequential factor unit); ob: outer block
-    (rank-ob MXU trailing updates).  bf16_updates: single-pass bf16
+    read), float32 or bfloat16 — a bf16 input is up-converted INSIDE the
+    kernel (half the input HBM traffic; the factor and all arithmetic stay
+    f32, so the result is bit-identical to converting before the call).
+    R equals jnp.linalg.cholesky(a.astype(f32)).mT exactly (up to f32
+    rounding).  nb: inner panel rows (sequential factor unit); ob: outer
+    block (rank-ob MXU trailing updates).  bf16_updates: single-pass bf16
     trailing updates (attack-gradient experiment, SG_CHOL_BF16=1 — see
     _make_kernel.bdot).
     """
@@ -344,7 +507,8 @@ def cholesky_rt(a: jnp.ndarray, nb: int = 8, ob: int = 128,
     b_pad = _round_up(b, b_tile)
     if n_pad != n:
         a = jnp.pad(a, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
-        # identity on the pad diagonal keeps the matrix SPD
+        # identity on the pad diagonal keeps the matrix SPD (1.0 is exact
+        # in bf16, so the pad is dtype-neutral)
         pad_diag = (jnp.arange(n_pad) >= n).astype(a.dtype)
         a = a + jnp.diag(pad_diag)[None]
     if b_pad != b:
@@ -354,6 +518,7 @@ def cholesky_rt(a: jnp.ndarray, nb: int = 8, ob: int = 128,
 
     kernel = _make_kernel(b_tile, n_pad, nb, ob,
                           jnp.bfloat16 if bf16_updates else jnp.float32)
+    f32_in = a.dtype == jnp.float32
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, n_pad), jnp.float32),
@@ -362,7 +527,8 @@ def cholesky_rt(a: jnp.ndarray, nb: int = 8, ob: int = 128,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((b_tile, n_pad, n_pad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        input_output_aliases={0: 0},
+        # a bf16 input cannot alias the f32 output buffer
+        input_output_aliases={0: 0} if f32_in else {},
         compiler_params=None if interpret else pltpu.CompilerParams(
             # the aliased block + pipeline double-buffering + step temps
             # exceed the 16 MB default scoped-vmem budget; v5e has 128 MB

@@ -58,23 +58,35 @@ def _diag_block_inverses(r, k, m, lower):
     return inv.reshape(b, k, m, m)
 
 
-def triangular_solve_vec(r, v, lower, transpose_a=False, m=100):
+def triangular_solve_vec(r, v, lower, transpose_a=False, m=100,
+                         dinv_t=None):
     """Solve op(R) x = v for batched triangular R.
 
     r: (B, N, N) triangular (upper if not `lower`); v: (B, N).
     op(R) = R^T when transpose_a.  Equivalent to
     jax.lax.linalg.triangular_solve(..., v[..., None], left_side=True)
     but block-substitution-structured for TPU (see module docstring).
+
+    dinv_t: optional (B, K, m, m) PRE-INVERTED diagonal blocks, stored
+    TRANSPOSED (dinv_t[:, i] = inv(D_i)^T) — as emitted by
+    ops/pallas_chol.cholesky_rt_dinv with m=128.  When given, step 1
+    (the one remaining XLA triangular_solve) is skipped entirely and the
+    whole solve is batched matmuls.
     """
     n = r.shape[-1]
-    if n <= m:
+    if dinv_t is None and n <= m:
         out = jax.lax.linalg.triangular_solve(
             r, v[..., None], left_side=True, lower=lower,
             transpose_a=transpose_a)
         return out[..., 0]
 
     rp, k, npad = _pad_factor(r, n, m)
-    dinv = _diag_block_inverses(rp, k, m, lower)
+    if dinv_t is not None:
+        assert dinv_t.shape == (r.shape[0], k, m, m)
+        # stored transposed: swap the einsum orientations in diag_apply
+        dinv = jnp.swapaxes(dinv_t, 2, 3)
+    else:
+        dinv = _diag_block_inverses(rp, k, m, lower)
     v = jnp.pad(v, ((0, 0), (0, npad - n)))
 
     # effective orientation of op(R): lower-triangular ops substitute

@@ -241,3 +241,56 @@ def test_pallas_cholesky_bf16_updates(rng, monkeypatch):
     approx = np.asarray(spd_solve(jnp.asarray(spd), rhs))
     rel = np.abs(approx - exact).max() / (np.abs(exact).max() + 1e-12)
     assert 0 < rel < 5e-3, rel  # differs (knob active) but stays close
+
+
+@pytest.mark.parametrize("b,n,nb,bt", [(3, 70, 8, 2), (2, 300, 16, 2)])
+def test_cholesky_rt_dinv_factor_and_blocks(rng, b, n, nb, bt):
+    """r5f: cholesky_rt_dinv emits the SAME factor bit-for-bit as
+    cholesky_rt (the aug identity block rides the sweep without touching
+    the factor lanes) plus the inverse-transposed 128x128 diagonal blocks
+    (padded blocks invert to identity); a bfloat16 input goes through the
+    same in-kernel up-convert as cholesky_rt."""
+    from speakerguard_tpu.ops.pallas_chol import cholesky_rt, cholesky_rt_dinv
+    a = rng.standard_normal((b, n, n)).astype(np.float32) * 0.1
+    spd = jnp.asarray(np.einsum("bij,bkj->bik", a, a)
+                      + (n / 10.0) * np.eye(n, dtype=np.float32))
+    r0 = cholesky_rt(spd, nb=nb, b_tile=bt, interpret=True)
+    r1, dinv_t = cholesky_rt_dinv(spd, nb=nb, b_tile=bt, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+    npad = -(-n // 128) * 128
+    assert dinv_t.shape == (b, npad // 128, 128, 128)
+    rp = np.zeros((b, npad, npad), np.float32)
+    rp[:, :n, :n] = np.asarray(r1)
+    for j in range(n, npad):
+        rp[:, j, j] = 1.0
+    for i in range(npad // 128):
+        d_blk = rp[:, i * 128:(i + 1) * 128, i * 128:(i + 1) * 128]
+        inv = np.asarray(dinv_t)[:, i].transpose(0, 2, 1)
+        np.testing.assert_allclose(inv @ d_blk,
+                                   np.broadcast_to(np.eye(128), inv.shape),
+                                   atol=5e-5)
+
+    r2, _ = cholesky_rt_dinv(spd.astype(jnp.bfloat16), nb=nb, b_tile=bt,
+                             interpret=True)
+    r2b = cholesky_rt(spd.astype(jnp.bfloat16), nb=nb, b_tile=bt,
+                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(r2b))
+
+
+def test_trsv_dinv_t_path_matches_xla_inversion(rng):
+    """ops/trsv.py with precomputed inverse-transposed diagonal blocks
+    (m=128) equals the XLA-inverted path at f32 tolerance, in both
+    orientations of an upper factor."""
+    from speakerguard_tpu.ops.trsv import triangular_solve_vec as tsv
+    from speakerguard_tpu.ops.pallas_chol import cholesky_rt_dinv
+    a = rng.standard_normal((3, 300, 300)).astype(np.float32) * 0.1
+    spd = jnp.asarray(np.einsum("bij,bkj->bik", a, a)
+                      + 30.0 * np.eye(300, dtype=np.float32))
+    r, dinv_t = cholesky_rt_dinv(spd, nb=16, b_tile=1, interpret=True)
+    v = jnp.asarray(rng.standard_normal((3, 300)).astype(np.float32))
+    for ta in (False, True):
+        want = np.asarray(tsv(r, v, lower=False, transpose_a=ta, m=128))
+        got = np.asarray(tsv(r, v, lower=False, transpose_a=ta, m=128,
+                             dinv_t=dinv_t))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -65,6 +65,57 @@ def test_block_trsv_matches_xla_all_orientations(rng):
                     err_msg=f"n={n} lower={lower} transpose={ta}")
 
 
+def test_bf16_l_in_kernel_convert_is_bit_identical(rng, monkeypatch):
+    """r5f: a bfloat16 L feeds the Pallas factorization directly (the
+    up-convert happens in VMEM instead of a standalone XLA fusion that
+    materializes the f32 (B, 640, 640) input).  The factor arithmetic is
+    f32 either way, so solve AND IFT-VJP must be BIT-identical to the
+    convert-outside route (SG_CHOL_BF16_IN=0)."""
+    monkeypatch.setenv("SG_CHOL_PALLAS", "1")  # interpret-mode kernel
+    l_mat = _spd(rng, 2, 70).astype(jnp.bfloat16)
+    rhs = jnp.asarray(rng.standard_normal((2, 70)).astype(np.float32))
+
+    def run():
+        def f(lm, r):
+            return jnp.sum(jnp.sin(spd_solve(lm, r)))
+        x = spd_solve(l_mat, rhs)
+        g = jax.grad(f, argnums=(0, 1))(l_mat, rhs)
+        return np.asarray(x), np.asarray(g[0]), np.asarray(g[1])
+
+    monkeypatch.setenv("SG_CHOL_BF16_IN", "0")
+    x0, gl0, gr0 = run()
+    monkeypatch.setenv("SG_CHOL_BF16_IN", "1")
+    x1, gl1, gr1 = run()
+    np.testing.assert_array_equal(x0, x1)
+    np.testing.assert_array_equal(gl0, gl1)
+    np.testing.assert_array_equal(gr0, gr1)
+
+
+def test_spd_solve_emit_dinv_path(rng, monkeypatch):
+    """r5f: SG_CHOL_EMIT_DINV=1 — the factorization kernel emits the
+    inverse-transposed 128-blocks and both triangular applies become pure
+    matmuls (no XLA triangular_solve in the hot path).  Value and IFT
+    gradients must agree with the default path at f32 tolerance."""
+    monkeypatch.setenv("SG_CHOL_PALLAS", "1")
+    l_mat = _spd(rng, 2, 300)
+    rhs = jnp.asarray(rng.standard_normal((2, 300)).astype(np.float32))
+
+    def f(lm, r):
+        return jnp.sum(jnp.sin(spd_solve(lm, r)))
+
+    monkeypatch.setenv("SG_CHOL_EMIT_DINV", "0")
+    x0 = np.asarray(spd_solve(l_mat, rhs))
+    g0 = jax.grad(f, argnums=(0, 1))(l_mat, rhs)
+    monkeypatch.setenv("SG_CHOL_EMIT_DINV", "1")
+    x1 = np.asarray(spd_solve(l_mat, rhs))
+    g1 = jax.grad(f, argnums=(0, 1))(l_mat, rhs)
+    np.testing.assert_allclose(x1, x0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_spd_solve_block_path_large(rng):
     """spd_solve at N=600-class shapes (block substitution active) vs
     float64 reference."""
